@@ -1,0 +1,11 @@
+from .boxes import (bbox_overlaps, distance2bbox, bbox2distance,
+                    anchor_center, bbox_flip)
+from .anchors import AnchorGenerator, PointGenerator
+from .integral import integral
+from .atss_assigner import ATSSAssigner, AssignResult
+
+__all__ = [
+    'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
+    'bbox_flip', 'AnchorGenerator', 'PointGenerator', 'integral',
+    'ATSSAssigner', 'AssignResult'
+]
