@@ -1,0 +1,3 @@
+from .resnet import ResNet, BasicBlock, Bottleneck, BatchNorm
+
+__all__ = ['ResNet', 'BasicBlock', 'Bottleneck', 'BatchNorm']

@@ -1,0 +1,203 @@
+"""ResNet backbones (18/34/50/101/152) in flax, NHWC, TPU-first.
+
+Capability parity with /root/reference/mmdet/models/backbones/resnet.py:303
+('pytorch'-style blocks: stride on the 3x3 conv of a bottleneck), including
+detection-specific semantics:
+
+  * `norm_eval=True`: BatchNorm always uses running statistics (affine params
+    still trainable) — expressed here as `use_running_average=True` with
+    running stats living in the `batch_stats` collection.
+  * `frozen_stages=k`: the stem and the first k stages receive no gradient.
+    TPU-first: a `jax.lax.stop_gradient` on the activation at the freeze
+    boundary — XLA then dead-code-eliminates the whole frozen backward
+    segment, which the reference's `requires_grad_(False)` cannot do.
+    The optimizer additionally masks those paths (see parallel/optim.py)
+    so weight decay never touches them either.
+
+Layout is NHWC throughout (TPU-native); convs are lowered to the MXU by XLA.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ld_tpu.utils.registry import BACKBONES
+
+
+class BatchNorm(nn.Module):
+    """BN with frozen running statistics (detection fine-tuning semantics)."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_running_average: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average or not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name='bn')(x)
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
+                   name=name, dtype=dtype)
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    downsample: bool = False
+    norm_eval: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = _conv(self.filters, 3, self.stride, 'conv1', self.dtype)(x)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+                        dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        out = _conv(self.filters, 3, 1, 'conv2', self.dtype)(out)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
+                        dtype=self.dtype)(out, train)
+        if self.downsample:
+            identity = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name='downsample_conv',
+                               dtype=self.dtype)(x)
+            identity = BatchNorm(use_running_average=self.norm_eval,
+                                 name='downsample_norm',
+                                 dtype=self.dtype)(identity, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    filters: int  # bottleneck width; output is 4x
+    stride: int = 1
+    downsample: bool = False
+    norm_eval: bool = True
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1',
+                      dtype=self.dtype)(x)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+                        dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        # 'pytorch' style: spatial stride on the 3x3
+        out = nn.Conv(self.filters, (3, 3),
+                      strides=(self.stride, self.stride),
+                      padding=[(self.dilation, self.dilation)] * 2,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, name='conv2', dtype=self.dtype)(out)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
+                        dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
+                      name='conv3', dtype=self.dtype)(out)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm3',
+                        dtype=self.dtype)(out, train)
+        if self.downsample:
+            identity = nn.Conv(self.filters * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name='downsample_conv',
+                               dtype=self.dtype)(x)
+            identity = BatchNorm(use_running_average=self.norm_eval,
+                                 name='downsample_norm',
+                                 dtype=self.dtype)(identity, train)
+        return nn.relu(out + identity)
+
+
+ARCH_SETTINGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    """ResNet returning the feature maps of `out_indices` stages (NHWC)."""
+    depth: int
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    frozen_stages: int = -1
+    norm_eval: bool = True
+    norm_cfg: dict = None       # accepted for config parity; BN is built-in
+    style: str = 'pytorch'
+    deep_stem: bool = False
+    avg_down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+
+        # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        if self.deep_stem:
+            for i, s in enumerate((2, 1, 1)):
+                x = _conv(32 if i < 2 else 64, 3, s, f'stem_conv{i+1}',
+                          self.dtype)(x)
+                x = BatchNorm(use_running_average=self.norm_eval,
+                              name=f'stem_norm{i+1}', dtype=self.dtype)(
+                                  x, train)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                        use_bias=False, name='conv1', dtype=self.dtype)(x)
+            x = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+                          dtype=self.dtype)(x, train)
+            x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        in_planes = 64
+        for stage, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2**stage
+            stride = self.strides[stage]
+            dilation = self.dilations[stage]
+            for b in range(num_blocks):
+                s = stride if b == 0 else 1
+                expansion = getattr(block_cls, 'expansion', 1)
+                need_ds = (b == 0 and
+                           (s != 1 or in_planes != planes * expansion))
+                kwargs = dict(filters=planes, stride=s, downsample=need_ds,
+                              norm_eval=self.norm_eval, dtype=self.dtype,
+                              name=f'layer{stage+1}_{b}')
+                if block_cls is Bottleneck:
+                    kwargs['dilation'] = dilation
+                x = block_cls(**kwargs)(x, train)
+            in_planes = planes * getattr(block_cls, 'expansion', 1)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+    def frozen_param_paths(self):
+        """Dot-path prefixes of parameters that receive no updates."""
+        paths = []
+        if self.frozen_stages >= 0:
+            paths += ['conv1', 'norm1', 'stem_conv1', 'stem_norm1',
+                      'stem_conv2', 'stem_norm2', 'stem_conv3', 'stem_norm3']
+        for stage in range(1, self.frozen_stages + 1):
+            paths.append(f'layer{stage}_')
+        return paths

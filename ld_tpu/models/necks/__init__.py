@@ -1,0 +1,3 @@
+from .fpn import FPN, ChannelMapper
+
+__all__ = ['FPN', 'ChannelMapper']

@@ -1,0 +1,113 @@
+"""Feature Pyramid Network neck (flax, NHWC).
+
+Capability parity with /root/reference/mmdet/models/necks/fpn.py:12:
+lateral 1x1 convs + top-down nearest-neighbour upsampling (size-matched, so
+odd feature sizes work) + 3x3 output convs; optional extra levels via
+stride-2 3x3 convs on input/lateral/output (`add_extra_convs`), or max-pool
+when extra convs are disabled. GFL/LD configs use
+`add_extra_convs='on_output'`, start_level=1, num_outs=5.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ld_tpu.utils.registry import NECKS
+
+
+def _upsample_nearest_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Nearest-neighbour upsample of NHWC `x` to (h, w).
+
+    For the common exact-2x case this compiles to a cheap broadcast-reshape
+    (no gather), which XLA fuses into the following add.
+    """
+    b, ih, iw, c = x.shape
+    if h == 2 * ih and w == 2 * iw:
+        x = x[:, :, None, :, None, :]
+        x = jnp.broadcast_to(x, (b, ih, 2, iw, 2, c))
+        return x.reshape(b, h, w, c)
+    return jax.image.resize(x, (b, h, w, c), method='nearest')
+
+
+@NECKS.register_module()
+class FPN(nn.Module):
+    in_channels: Sequence[int]
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    end_level: int = -1
+    add_extra_convs: str = None      # None | 'on_input' | 'on_lateral' | 'on_output'
+    relu_before_extra_convs: bool = False
+    no_norm_on_lateral: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == len(self.in_channels)
+        end = len(self.in_channels) if self.end_level in (-1, None) \
+            else self.end_level
+        used = list(range(self.start_level, end))
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}',
+                    dtype=self.dtype)(inputs[lvl])
+            for i, lvl in enumerate(used)
+        ]
+
+        # top-down pathway
+        for i in range(len(laterals) - 1, 0, -1):
+            h, w = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_to(
+                laterals[i], h, w)
+
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                    name=f'fpn_conv_{i}', dtype=self.dtype)(laterals[i])
+            for i in range(len(laterals))
+        ]
+
+        # extra levels
+        if self.num_outs > len(outs):
+            if not self.add_extra_convs:
+                for _ in range(self.num_outs - len(outs)):
+                    outs.append(nn.max_pool(outs[-1], (1, 1),
+                                            strides=(2, 2)))
+            else:
+                if self.add_extra_convs == 'on_input':
+                    extra = inputs[used[-1]]
+                elif self.add_extra_convs == 'on_lateral':
+                    extra = laterals[-1]
+                else:  # 'on_output'
+                    extra = outs[-1]
+                for j in range(self.num_outs - len(outs)):
+                    if j > 0 and self.relu_before_extra_convs:
+                        extra = nn.relu(extra)
+                    extra = nn.Conv(self.out_channels, (3, 3),
+                                    strides=(2, 2), padding=[(1, 1)] * 2,
+                                    name=f'fpn_extra_{j}',
+                                    dtype=self.dtype)(extra)
+                    outs.append(extra)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class ChannelMapper(nn.Module):
+    """1x1 convs mapping each input level to a common channel count.
+
+    Parity: /root/reference/mmdet/models/necks/channel_mapper.py.
+    """
+    in_channels: Sequence[int]
+    out_channels: int = 256
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        k = self.kernel_size
+        return tuple(
+            nn.Conv(self.out_channels, (k, k), padding=[(k // 2, k // 2)] * 2,
+                    name=f'map_{i}', dtype=self.dtype)(x)
+            for i, x in enumerate(inputs))

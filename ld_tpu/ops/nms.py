@@ -1,0 +1,201 @@
+"""TPU-native NMS kernels (padded, mask-based, static shapes).
+
+Replaces the CUDA `mmcv.ops.nms` / `batched_nms` usage sites
+(/root/reference/mmdet/core/post_processing/bbox_nms.py:2,70 and
+torchvision NMS at /root/reference/mmdet/models/dense_heads/ld_head.py:637).
+
+TPU-first design: greedy NMS is sequential, but its fixpoint can be reached
+by *iterated matrix suppression* (Cluster-NMS, Zheng et al. 2020 — the same
+algorithm the reference fork ships as its `voting_cluster_diounms` option at
+bbox_nms.py:35): sort by score, build the upper-triangular IoU>thr matrix
+once, then iterate `keep <- no kept earlier box suppresses me` until stable.
+Each iteration is one (K,K)x(K,) contraction on the MXU; convergence takes
+the length of the longest suppression chain (typically < 10 iterations),
+and the result is EXACTLY greedy NMS.
+
+All outputs are fixed-size with validity masks — jit/vmap/pjit safe.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+def _cluster_nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      iou_threshold: float, overlap_mode: str = 'iou',
+                      valid=None) -> jnp.ndarray:
+    """Keep-mask of greedy NMS over score-sorted boxes.
+
+    Args:
+        boxes: (K, 4) sorted by descending score.
+        scores: (K,) descending.
+        valid: (K,) optional bool — padded entries never kept.
+    Returns:
+        (K,) bool keep mask (still in sorted order).
+    """
+    k = boxes.shape[0]
+    iou = bbox_overlaps(boxes, boxes, mode=overlap_mode)
+    tri = jnp.triu(jnp.ones((k, k), bool), k=1)
+    suppress = (iou > iou_threshold) & tri          # i suppresses j (i<j)
+    suppress_f = suppress.astype(jnp.float32)
+
+    if valid is None:
+        valid = jnp.ones((k, ), bool)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        # box j killed if any *kept* earlier box suppresses it
+        killed = (keep.astype(jnp.float32) @ suppress_f) > 0.5
+        new_keep = valid & ~killed
+        return new_keep, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros((k, ), bool), jnp.asarray(0)))
+    return keep
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+        max_out: int, score_threshold: float = float('-inf'),
+        overlap_mode: str = 'iou') -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS returning indices of kept boxes, padded to `max_out`.
+
+    Returns:
+        idx: (max_out,) int32 indices into the input (undefined where invalid).
+        valid: (max_out,) bool.
+    """
+    n = boxes.shape[0]
+    order_scores, order = jax.lax.top_k(scores, n)
+    sboxes = boxes[order]
+    valid = order_scores > score_threshold
+    keep = _cluster_nms_keep(sboxes, order_scores, iou_threshold,
+                             overlap_mode, valid)
+    # first `max_out` kept boxes, in score order
+    kept_scores = jnp.where(keep, order_scores, -jnp.inf)
+    top_scores, pos = jax.lax.top_k(kept_scores, min(max_out, n))
+    return order[pos], top_scores > -jnp.inf
+
+
+def multiclass_nms(mlvl_bboxes: jnp.ndarray,
+                   mlvl_scores: jnp.ndarray,
+                   score_thr: float,
+                   iou_threshold: float,
+                   max_per_img: int = 100,
+                   max_candidates: int = 1024,
+                   box_coord_bound: float = 4096.0):
+    """Class-aware NMS over one image's multi-level candidates.
+
+    Parity with /root/reference/mmdet/core/post_processing/bbox_nms.py:70:
+    per-(anchor, class) pairs above `score_thr` compete in a single NMS where
+    boxes of different classes never suppress each other (class-offset trick),
+    then the top `max_per_img` survivors are returned.
+
+    TPU-first: instead of dynamic filtering, the top `max_candidates` pairs
+    by score are selected (static shape) — with the usual score_thr=0.05 this
+    retains every pair the reference would keep.
+
+    Args:
+        mlvl_bboxes: (N, 4).
+        mlvl_scores: (N, C) sigmoid class scores WITHOUT background column.
+    Returns:
+        dets: (max_per_img, 5) [x1, y1, x2, y2, score], zero-padded.
+        labels: (max_per_img,) int32.
+        valid: (max_per_img,) bool.
+    """
+    num_anchors, num_classes = mlvl_scores.shape
+    flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
+    k = min(max_candidates, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    anchor_idx = top_idx // num_classes
+    class_idx = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = mlvl_bboxes[anchor_idx]
+    cand_valid = top_scores > 0.0
+
+    offset_boxes = cand_boxes + (class_idx.astype(cand_boxes.dtype) *
+                                 box_coord_bound)[:, None]
+    keep = _cluster_nms_keep(offset_boxes, top_scores, iou_threshold,
+                             valid=cand_valid)
+
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    out_scores, pos = jax.lax.top_k(kept_scores, max_per_img)
+    out_valid = out_scores > 0.0
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    out_boxes = jnp.where(out_valid[:, None], cand_boxes[pos], 0.0)
+    out_labels = jnp.where(out_valid, class_idx[pos], -1)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
+    return dets, out_labels, out_valid
+
+
+def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
+                          max_per_img=100, max_candidates=1024,
+                          beta=0.8, sigma=0.025,
+                          box_coord_bound=4096.0):
+    """Cluster-DIoU NMS with Gaussian score voting.
+
+    Parity target: the fork's custom `voting_cluster_diounms` branch
+    (/root/reference/mmdet/core/post_processing/bbox_nms.py:35-69,148-180):
+    suppression uses DIoU scaled by beta, and each surviving box is refined
+    as a score*exp(-(1-IoU)^2/sigma)-weighted average of same-class boxes.
+    """
+    num_anchors, num_classes = mlvl_scores.shape
+    flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
+    k = min(max_candidates, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    anchor_idx = top_idx // num_classes
+    class_idx = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = mlvl_bboxes[anchor_idx]
+    cand_valid = top_scores > 0.0
+
+    offset_boxes = cand_boxes + (class_idx.astype(cand_boxes.dtype) *
+                                 box_coord_bound)[:, None]
+    # DIoU-based suppression band: diou > beta * thr acts like iou > thr
+    diou = bbox_overlaps(offset_boxes, offset_boxes, mode='diou')
+    kk = offset_boxes.shape[0]
+    tri = jnp.triu(jnp.ones((kk, kk), bool), k=1)
+    suppress = ((diou > beta * iou_threshold) & tri).astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < kk, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        killed = (keep.astype(jnp.float32) @ suppress) > 0.5
+        return cand_valid & ~killed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (cand_valid, jnp.zeros((kk, ), bool), jnp.asarray(0)))
+
+    # Gaussian score voting among same-class candidates
+    same_class = class_idx[:, None] == class_idx[None, :]
+    iou_plain = bbox_overlaps(cand_boxes, cand_boxes)
+    w = top_scores[None, :] * jnp.exp(-(1.0 - iou_plain)**2 / sigma)
+    w = jnp.where(same_class & cand_valid[None, :] & (iou_plain > 0), w, 0.0)
+    voted = (w @ cand_boxes) / jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
+
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    out_scores, pos = jax.lax.top_k(kept_scores, max_per_img)
+    out_valid = out_scores > 0.0
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    out_boxes = jnp.where(out_valid[:, None], voted[pos], 0.0)
+    out_labels = jnp.where(out_valid, class_idx[pos], -1)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
+    return dets, out_labels, out_valid
+
+
+def batched_multiclass_nms(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
+                           max_per_img=100, max_candidates=1024):
+    """vmap of `multiclass_nms` over a leading batch dim."""
+    return jax.vmap(
+        partial(multiclass_nms, score_thr=score_thr,
+                iou_threshold=iou_threshold, max_per_img=max_per_img,
+                max_candidates=max_candidates))(mlvl_bboxes, mlvl_scores)
