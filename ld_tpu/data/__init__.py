@@ -1,0 +1,21 @@
+from .transforms import (Compose, collate_batch, LoadImageFromFile,
+                         LoadAnnotations, Resize, RandomFlip, Normalize, Pad,
+                         Collect, PhotoMetricDistortion)
+from .coco import CocoDataset, SyntheticDetectionDataset, COCO_CLASSES
+from .loader import DataLoader, GroupBatchSampler, build_dataloader
+from .voc import VOCDataset
+
+from ld_tpu.utils.registry import DATASETS
+
+
+def build_dataset(cfg):
+    return DATASETS.build(dict(cfg))
+
+
+__all__ = [
+    'Compose', 'collate_batch', 'LoadImageFromFile', 'LoadAnnotations',
+    'Resize', 'RandomFlip', 'Normalize', 'Pad', 'Collect',
+    'PhotoMetricDistortion', 'CocoDataset', 'SyntheticDetectionDataset',
+    'COCO_CLASSES', 'DataLoader', 'GroupBatchSampler', 'build_dataloader',
+    'build_dataset', 'VOCDataset'
+]

@@ -1,0 +1,274 @@
+"""Host-side image pipeline: dict-in/dict-out transforms.
+
+Semantics parity with /root/reference/mmdet/datasets/pipelines/transforms.py
+(Resize:26 keep-ratio, RandomFlip:319, Normalize:547, Pad:476) and
+formating.py (Collect:251 img_metas contract) within fp tolerance:
+  * Resize keep_ratio: factor = min(long/max(h,w), short/min(h,w)),
+    new = int(dim * factor + 0.5), bilinear; boxes scaled and clipped.
+  * Normalize: BGR->RGB then (x - mean) / std, float32.
+  * Pad: zero-pad bottom/right to size_divisor (and to the static batch
+    bucket — the TPU addition: every batch tensor has ONE shape so the jitted
+    step never recompiles).
+
+These run on host CPU per image; the collate step pads GTs to a fixed count
+with a validity mask (static-shape contract of the ld_tpu heads).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ld_tpu.utils.registry import PIPELINES
+
+
+@PIPELINES.register_module()
+class LoadImageFromFile:
+    def __init__(self, to_float32=False, color_type='color'):
+        self.to_float32 = to_float32
+
+    def __call__(self, results: Dict) -> Dict:
+        path = results['img_info']['filename']
+        if 'img_prefix' in results and results['img_prefix']:
+            import os
+            path = os.path.join(results['img_prefix'], path)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, HWC
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['ori_shape'] = img.shape
+        return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotations:
+    def __init__(self, with_bbox=True, with_label=True, **kwargs):
+        self.with_bbox = with_bbox
+        self.with_label = with_label
+
+    def __call__(self, results: Dict) -> Dict:
+        ann = results['ann_info']
+        if self.with_bbox:
+            results['gt_bboxes'] = ann['bboxes'].astype(np.float32)
+        if self.with_label:
+            results['gt_labels'] = ann['labels'].astype(np.int64)
+        return results
+
+
+def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> float:
+    long_side, short_side = max(scale), min(scale)
+    return min(long_side / max(h, w), short_side / min(h, w))
+
+
+@PIPELINES.register_module()
+class Resize:
+    def __init__(self, img_scale=(1333, 800), keep_ratio=True,
+                 ratio_range=None, multiscale_mode='range'):
+        self.img_scale = img_scale
+        self.keep_ratio = keep_ratio
+        self.ratio_range = ratio_range
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        scale = self.img_scale
+        if isinstance(scale, list):  # multi-scale: pick one (value mode)
+            scale = scale[np.random.randint(len(scale))]
+        if self.ratio_range is not None:
+            lo, hi = self.ratio_range
+            r = np.random.uniform(lo, hi)
+            scale = (int(scale[0] * r), int(scale[1] * r))
+        if self.keep_ratio:
+            factor = rescale_size(h, w, scale)
+            new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
+        else:
+            new_w, new_h = scale[0], scale[1]
+        out = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results['img'] = out
+        results['img_shape'] = out.shape
+        results['scale_factor'] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        if 'gt_bboxes' in results:
+            bb = results['gt_bboxes'] * results['scale_factor']
+            bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
+            bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
+            results['gt_bboxes'] = bb
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    def __init__(self, flip_ratio=0.5, direction='horizontal'):
+        self.flip_ratio = flip_ratio or 0.0
+        self.direction = direction
+
+    def __call__(self, results: Dict) -> Dict:
+        flip = np.random.rand() < self.flip_ratio
+        results['flip'] = flip
+        results['flip_direction'] = self.direction
+        if not flip:
+            return results
+        results['img'] = np.ascontiguousarray(results['img'][:, ::-1])
+        if 'gt_bboxes' in results:
+            w = results['img_shape'][1]
+            bb = results['gt_bboxes'].copy()
+            bb[:, 0] = w - results['gt_bboxes'][:, 2]
+            bb[:, 2] = w - results['gt_bboxes'][:, 0]
+            results['gt_bboxes'] = bb
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img'].astype(np.float32)
+        if self.to_rgb:
+            img = img[..., ::-1]
+        results['img'] = (img - self.mean) / self.std
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    def __init__(self, size=None, size_divisor=32, pad_val=0):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img']
+        h, w = img.shape[:2]
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th, tw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+        out = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
+        out[:h, :w] = img
+        results['img'] = out
+        results['pad_shape'] = out.shape
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation/hue jitter.
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:810.
+    """
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        if np.random.randint(2):
+            img += np.random.uniform(-self.brightness_delta,
+                                     self.brightness_delta)
+        mode = np.random.randint(2)
+        if mode == 1 and np.random.randint(2):
+            img *= np.random.uniform(*self.contrast_range)
+        hsv = cv2.cvtColor(img.clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if np.random.randint(2):
+            hsv[..., 1] *= np.random.uniform(*self.saturation_range)
+        if np.random.randint(2):
+            hsv[..., 0] = (hsv[..., 0] +
+                           np.random.uniform(-self.hue_delta,
+                                             self.hue_delta)) % 180
+        img = cv2.cvtColor(hsv.clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2BGR).astype(np.float32)
+        if mode == 0 and np.random.randint(2):
+            img *= np.random.uniform(*self.contrast_range)
+        results['img'] = img
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    def __init__(self, keys=('img', 'gt_bboxes', 'gt_labels'), meta_keys=()):
+        self.keys = keys
+
+    def __call__(self, results: Dict) -> Dict:
+        out = {k: results[k] for k in self.keys if k in results}
+        out['img_shape'] = results.get('img_shape')
+        out['ori_shape'] = results.get('ori_shape')
+        out['pad_shape'] = results.get('pad_shape', results.get('img_shape'))
+        out['scale_factor'] = results.get(
+            'scale_factor', np.ones(4, np.float32))
+        out['img_id'] = results.get('img_info', {}).get('id', -1)
+        return out
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = []
+        for t in transforms:
+            if isinstance(t, dict):
+                self.transforms.append(PIPELINES.build(dict(t)))
+            else:
+                self.transforms.append(t)
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+def collate_batch(samples: List[Dict], pad_hw: Tuple[int, int],
+                  max_gts: int = 100) -> Dict[str, np.ndarray]:
+    """Stack per-image dicts into one static-shape batch.
+
+    Images are zero-padded to `pad_hw`; GT boxes/labels padded to `max_gts`
+    with a validity mask. `img_hw` carries the true (resized, un-padded)
+    image shape used for anchor valid-flags and box clipping.
+    """
+    b = len(samples)
+    th, tw = pad_hw
+    images = np.zeros((b, th, tw, 3), np.float32)
+    gt_bboxes = np.zeros((b, max_gts, 4), np.float32)
+    gt_labels = np.zeros((b, max_gts), np.int32)
+    gt_valid = np.zeros((b, max_gts), bool)
+    img_hw = np.zeros((b, 2), np.float32)
+    scale_factor = np.ones((b, 4), np.float32)
+    img_ids = np.zeros((b, ), np.int64)
+    for i, s in enumerate(samples):
+        img = s['img']
+        h, w = img.shape[:2]
+        assert h <= th and w <= tw, (img.shape, pad_hw)
+        images[i, :h, :w] = img
+        img_hw[i] = s['img_shape'][:2]
+        scale_factor[i] = s.get('scale_factor', np.ones(4, np.float32))
+        img_ids[i] = s.get('img_id', -1)
+        if 'gt_bboxes' in s:
+            n = min(len(s['gt_bboxes']), max_gts)
+            gt_bboxes[i, :n] = s['gt_bboxes'][:n]
+            gt_labels[i, :n] = s['gt_labels'][:n]
+            gt_valid[i, :n] = True
+    return dict(image=images, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                gt_valid=gt_valid, img_hw=img_hw, scale_factor=scale_factor,
+                img_ids=img_ids)

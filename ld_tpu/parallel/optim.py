@@ -1,0 +1,103 @@
+"""Optimizer + LR schedule construction.
+
+Parity targets: mmcv SGD hook stack used by every reference config —
+SGD(momentum=0.9, weight_decay=1e-4), step LR with 500-iter linear warmup
+(/root/reference/configs/_base_/schedules/schedule_1x.py), optional global
+grad clipping (optimizer_config.grad_clip), and `requires_grad=False` frozen
+backbone stages (resnet.py `_freeze_stages`) — expressed as an optax chain
+with a path-mask so frozen parameters receive neither updates nor decay.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, 'key', getattr(p, 'idx', p))))
+    return '/'.join(parts)
+
+
+def frozen_mask(params, frozen_prefixes: Sequence[str]):
+    """Pytree of bools: True = trainable, False = frozen."""
+
+    def trainable(path, _):
+        s = _path_str(path)
+        return not any(s.startswith(p) or ('/' + p) in s
+                       for p in frozen_prefixes)
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def build_lr_schedule(base_lr: float, lr_config: Dict,
+                      steps_per_epoch: int,
+                      max_epochs: int) -> Callable[[int], jnp.ndarray]:
+    """mmcv StepLrUpdater semantics: linear warmup from warmup_ratio*lr over
+    warmup_iters, then x0.1 (gamma) at each epoch in `step`."""
+    policy = lr_config.get('policy', 'step')
+    warmup_iters = lr_config.get('warmup_iters', 500)
+    warmup_ratio = lr_config.get('warmup_ratio', 0.001)
+    gamma = lr_config.get('gamma', 0.1)
+    steps = lr_config.get('step', [8, 11])
+    boundaries = jnp.asarray([s * steps_per_epoch for s in steps])
+
+    def schedule(count):
+        count = jnp.asarray(count)
+        if policy == 'step':
+            regular = base_lr * gamma**jnp.sum(count >= boundaries)
+        elif policy == 'cosine':
+            total = max_epochs * steps_per_epoch
+            regular = base_lr * 0.5 * (1 + jnp.cos(
+                jnp.pi * jnp.minimum(count, total) / total))
+        else:
+            raise ValueError(policy)
+        frac = jnp.clip(count / max(warmup_iters, 1), 0.0, 1.0)
+        warm_factor = warmup_ratio + (1.0 - warmup_ratio) * frac
+        return regular * warm_factor
+
+    return schedule
+
+
+def build_optimizer(optimizer_cfg: Dict,
+                    lr_schedule,
+                    params,
+                    frozen_prefixes: Sequence[str] = (),
+                    grad_clip: Dict = None) -> optax.GradientTransformation:
+    """SGD+momentum+decoupled-into-grad weight decay (torch SGD semantics:
+    wd is added to the gradient BEFORE momentum), masked over frozen paths."""
+    opt_type = optimizer_cfg.get('type', 'SGD')
+    wd = optimizer_cfg.get('weight_decay', 0.0)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip.get('max_norm',
+                                                             35.0)))
+    if opt_type == 'SGD':
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        momentum = optimizer_cfg.get('momentum', 0.9)
+        if momentum:
+            # torch SGD: v = mu*v + g ; p -= lr*v  (no dampening, no Nesterov)
+            chain.append(optax.trace(decay=momentum, nesterov=False))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+    elif opt_type == 'AdamW':
+        chain.append(optax.scale_by_adam(
+            b1=optimizer_cfg.get('betas', (0.9, 0.999))[0],
+            b2=optimizer_cfg.get('betas', (0.9, 0.999))[1]))
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+    else:
+        raise ValueError(f'unsupported optimizer {opt_type}')
+    tx = optax.chain(*chain)
+    if frozen_prefixes:
+        mask = frozen_mask(params, frozen_prefixes)
+        tx = optax.multi_transform(
+            {'train': tx, 'freeze': optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda t: 'train' if t else 'freeze', mask))
+    return tx

@@ -1,0 +1,91 @@
+"""SPMD training step: pure (state, batch) -> (state, metrics) under pjit.
+
+Replaces the reference's runner/DDP iteration
+(/root/reference/mmdet/models/detectors/base.py:220 train_step +
+mmcv OptimizerHook backward/step + DDP bucket all-reduce): here the whole
+iteration — student forward, teacher forward, loss, backward, optimizer —
+is ONE compiled XLA program. The batch is sharded over the 'data' mesh axis;
+every cross-replica reduction (gradient psum, the loss-normalization sums
+that the reference implements as `reduce_mean` NCCL calls at
+mmdet/core/utils/dist_utils.py:63, and the log-var all-reduce at
+base.py:211-216) is just a global reduction that XLA lowers to ICI
+collectives automatically.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import data_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(detector, rng, optimizer,
+                       input_shape=(1, 64, 64, 3)) -> TrainState:
+    variables = detector.init_variables(rng, input_shape)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(detector, optimizer, has_teacher: bool = False):
+    """Build the pure train-step function (to be jitted/pjitted by caller)."""
+
+    def train_step(state: TrainState, batch: Dict,
+                   teacher_variables: Optional[Dict] = None):
+        def loss_fn(params):
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats}
+            if has_teacher:
+                losses = detector.forward_train(
+                    variables, batch, teacher_variables=teacher_variables)
+            else:
+                losses = detector.forward_train(variables, batch)
+            total = sum(jnp.asarray(v) for v in losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics['loss'] = total
+        new_state = TrainState(params=params, batch_stats=state.batch_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh: Mesh, has_teacher: bool = False):
+    """pjit the step: batch sharded on 'data', state/teacher replicated."""
+    repl = replicated(mesh)
+    batch_sh = data_sharding(mesh)
+    # replicated state + batch sharded on 'data' drives the SPMD partitioning
+    # of the whole program (grads come out replicated via an ICI psum).
+    if has_teacher:
+        return jax.jit(train_step,
+                       in_shardings=(repl, batch_sh, repl),
+                       donate_argnums=(0, ))
+    return jax.jit(train_step, in_shardings=(repl, batch_sh),
+                   donate_argnums=(0, ))
+
+
+def make_eval_step(detector):
+    def eval_step(variables: Dict, batch: Dict):
+        return detector.forward_test(variables, batch, rescale=True)
+
+    return eval_step
