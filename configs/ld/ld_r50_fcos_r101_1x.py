@@ -1,0 +1,49 @@
+# LD on FCOS-GFL: R-101 teacher -> R-50 student.
+# Parity: /root/reference/configs/ld/ld_r50_fcos_r101_1x.py.
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    type='KnowledgeDistillationSingleStageDetector',
+    pretrained='torchvision://resnet50',
+    teacher_config='configs/gfl/fcos_gfl_r101_2x.py',
+    teacher_ckpt='checkpoints/fcos_gfl_r101_2x.ckpt',
+    backbone=dict(
+        type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        frozen_stages=1, norm_eval=True, style='pytorch'),
+    neck=dict(
+        type='FPN', in_channels=[256, 512, 1024, 2048], out_channels=256,
+        start_level=1, add_extra_convs=True, extra_convs_on_inputs=False,
+        relu_before_extra_convs=True, num_outs=5),
+    bbox_head=dict(
+        type='LDFCOSHead',
+        num_classes=80,
+        in_channels=256,
+        stacked_convs=4,
+        feat_channels=256,
+        strides=[8, 16, 32, 64, 128],
+        loss_cls=dict(
+            type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0),
+        loss_bbox=dict(type='GIoULoss', loss_weight=1.0),
+        loss_ld=dict(
+            type='KnowledgeDistillationKLDivLoss', loss_weight=0.25, T=10),
+        loss_kd=dict(
+            type='KnowledgeDistillationKLDivLoss', loss_weight=10, T=2),
+        loss_centerness=dict(
+            type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0),
+        norm_on_bbox=False,
+        centerness_on_reg=True,
+        center_sampling=True,
+        reg_max=16),
+    train_cfg=dict(
+        assigner=dict(
+            type='MaxIoUAssigner', pos_iou_thr=0.5, neg_iou_thr=0.4,
+            min_pos_iou=0, ignore_iof_thr=-1),
+        allowed_border=-1, pos_weight=-1),
+    test_cfg=dict(
+        nms_pre=1000, min_bbox_size=0, score_thr=0.05,
+        nms=dict(type='nms', iou_threshold=0.6), max_per_img=100))
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)

@@ -69,9 +69,10 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
         t_feats = jax.tree_util.tree_map(jax.lax.stop_gradient, t_feats)
 
         featmap_sizes = [c.shape[1:3] for c in outs[0]]
-        soft_teacher = (t_outs[0], t_outs[1])  # (cls logits, bbox dist logits)
+        # full teacher output tuple: (cls, bbox[, cls_feat]) — LDv2 teachers
+        # carry the pre-DGQP logits as a 3rd element
         return self.bbox_head.loss(
-            outs, batch, featmap_sizes, soft_teacher,
+            outs, batch, featmap_sizes, tuple(t_outs),
             student_feats=feats if self.output_feature else None,
             teacher_feats=t_feats if self.output_feature else None)
 

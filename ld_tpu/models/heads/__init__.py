@@ -1,4 +1,13 @@
 from .gfl_head import GFLHead, GFLHeadNet
 from .ld_head import LDHead
+from .gfocal_head import GFocalHead, GFocalHeadNet
+from .ld_gflv2 import LDv2Head
+from .imitation_heads import IMHead, IMv2Head
+from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
+from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
+from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
 
-__all__ = ['GFLHead', 'GFLHeadNet', 'LDHead']
+__all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
+           'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
+           'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSHead', 'RetinaGFLHead',
+           'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head']

@@ -1,0 +1,306 @@
+"""FCOS head with GFL distributional regression, plus its LD variant.
+
+Capability parity:
+  * FCOSGFLHead — /root/reference/mmdet/models/dense_heads/fcos_gfl_head.py:
+    point-based targets (inside-gt or center-sampled, per-level regress
+    ranges, min-area tie-break), towers + per-level Scale on the
+    4*(reg_max+1) distribution output, centerness branch
+    (`centerness_on_reg` selects the tower), focal cls / centerness-weighted
+    GIoU / BCE centerness.
+  * LDFCOSHead — /root/reference/mmdet/models/dense_heads/ld_fcos_head.py:14:
+    main LD on positives (weight = max cls sigmoid, avg 4), `loss_ld_neg` =
+    0.25x LD on points inside a gt but NOT positive (the shipped code marks
+    them `num_classes+1` in labels, ld_fcos_head.py:349 — here a boolean
+    mask), weighted by the student's max cls sigmoid; per-level cls KD.
+
+The reference's per-point target loop is already dense; it vectorizes
+directly to (B, N, G) masks under vmap — no redesign needed beyond padding.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_tpu.ops import distance2bbox, integral
+from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.utils.registry import HEADS, LOSSES
+from .gfl_head import ConvGNBlock, GFLHead, _CLS_BIAS_INIT, flatten_levels
+from .atss_gfl_head import ATSSGFLHeadNet
+
+INF = 1e8
+DEFAULT_REGRESS_RANGES = ((-1, 64), (64, 128), (128, 256), (256, 512),
+                          (512, INF))
+
+
+class FCOSGFLHeadNet(ATSSGFLHeadNet):
+    """Same tower topology as the ATSS-GFL net (cls/reg towers, scale on the
+    distribution output, centerness conv); `centerness_on_reg` chooses the
+    tower feeding the centerness conv."""
+    centerness_on_reg: bool = True
+
+    def __call__(self, feats, train: bool = False):
+        cls_scores, bbox_preds, centernesses = [], [], []
+        for lvl, x in enumerate(feats):
+            cls_feat, reg_feat = x, x
+            for conv in self.cls_convs:
+                cls_feat = conv(cls_feat)
+            for conv in self.reg_convs:
+                reg_feat = conv(reg_feat)
+            cls_scores.append(self.atss_cls(cls_feat).astype(jnp.float32))
+            bbox_preds.append((self.atss_reg(reg_feat) *
+                               self.scales[lvl]).astype(jnp.float32))
+            ctr_src = reg_feat if self.centerness_on_reg else cls_feat
+            centernesses.append(
+                self.atss_centerness(ctr_src).astype(jnp.float32))
+        return cls_scores, bbox_preds, centernesses
+
+
+@HEADS.register_module()
+class FCOSGFLHead(GFLHead):
+
+    def __init__(self, num_classes, in_channels, strides=(8, 16, 32, 64, 128),
+                 regress_ranges=DEFAULT_REGRESS_RANGES, center_sampling=True,
+                 center_sample_radius=1.5, norm_on_bbox=False,
+                 centerness_on_reg=True, loss_cls=None, loss_centerness=None,
+                 dcn_on_last_conv=False, conv_bias=True, **kwargs):
+        self.strides_cfg = tuple(strides)
+        self.regress_ranges = tuple(tuple(r) for r in regress_ranges)
+        self.center_sampling = center_sampling
+        self.center_sample_radius = center_sample_radius
+        self.norm_on_bbox = norm_on_bbox
+        self.centerness_on_reg = centerness_on_reg
+        loss_cls = loss_cls or dict(type='FocalLoss', use_sigmoid=True,
+                                    gamma=2.0, alpha=0.25, loss_weight=1.0)
+        kwargs.setdefault('anchor_generator', dict(
+            ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
+            strides=list(strides)))
+        super().__init__(num_classes, in_channels, loss_cls=loss_cls,
+                         **kwargs)
+        self.loss_centerness = LOSSES.build(loss_centerness or dict(
+            type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0))
+
+    def _build_net(self, dtype):
+        return FCOSGFLHeadNet(num_classes=self.num_classes,
+                              feat_channels=self.feat_channels,
+                              stacked_convs=self.stacked_convs,
+                              reg_max=self.reg_max,
+                              num_levels=len(self.strides_cfg),
+                              centerness_on_reg=getattr(
+                                  self, 'centerness_on_reg', True),
+                              dtype=dtype)
+
+    # ---- point geometry -------------------------------------------------------
+    def point_geometry(self, featmap_sizes):
+        pts, strides, level_id, ranges = [], [], [], []
+        for lvl, (h, w) in enumerate(featmap_sizes):
+            s = self.strides_cfg[lvl]
+            xs = np.tile(np.arange(w, dtype=np.float32) * s, h) + s // 2
+            ys = np.repeat(np.arange(h, dtype=np.float32) * s, w) + s // 2
+            pts.append(np.stack([xs, ys], -1))
+            strides.append(np.full(h * w, s, np.float32))
+            level_id.append(np.full(h * w, lvl, np.int32))
+            ranges.append(np.tile(np.asarray(self.regress_ranges[lvl],
+                                             np.float32), (h * w, 1)))
+        return (jnp.asarray(np.concatenate(pts)),
+                jnp.asarray(np.concatenate(strides)),
+                jnp.asarray(np.concatenate(level_id)),
+                jnp.asarray(np.concatenate(ranges)))
+
+    def fcos_targets(self, featmap_sizes, gt_bboxes, gt_labels, gt_valid):
+        """Vectorized FCOS assignment. Returns labels (B,N), bbox_targets
+        (B,N,4) in pixels, pos (B,N), in_gt (B,N) (for the LD 'neg' region),
+        plus the static geometry."""
+        points, strides, level_id, ranges = self.point_geometry(featmap_sizes)
+
+        def single(gtb, gtl, gtv):
+            xs = points[:, 0:1]                      # (N,1)
+            ys = points[:, 1:2]
+            l_ = xs - gtb[None, :, 0]                # (N,G)
+            t_ = ys - gtb[None, :, 1]
+            r_ = gtb[None, :, 2] - xs
+            b_ = gtb[None, :, 3] - ys
+            targets = jnp.stack([l_, t_, r_, b_], -1)  # (N,G,4)
+            in_gt = (targets.min(-1) > 0) & gtv[None, :]
+
+            if self.center_sampling:
+                radius = strides[:, None] * self.center_sample_radius
+                cx = (gtb[None, :, 0] + gtb[None, :, 2]) / 2
+                cy = (gtb[None, :, 1] + gtb[None, :, 3]) / 2
+                x0 = jnp.maximum(cx - radius, gtb[None, :, 0])
+                y0 = jnp.maximum(cy - radius, gtb[None, :, 1])
+                x1 = jnp.minimum(cx + radius, gtb[None, :, 2])
+                y1 = jnp.minimum(cy + radius, gtb[None, :, 3])
+                inside = (jnp.minimum(
+                    jnp.minimum(xs - x0, x1 - xs),
+                    jnp.minimum(ys - y0, y1 - ys)) > 0) & gtv[None, :]
+            else:
+                inside = in_gt
+            max_dist = targets.max(-1)
+            in_range = (max_dist >= ranges[:, 0:1]) & \
+                (max_dist <= ranges[:, 1:2])
+            areas = (gtb[:, 2] - gtb[:, 0]) * (gtb[:, 3] - gtb[:, 1])
+            areas = jnp.where(inside & in_range & gtv[None, :],
+                              areas[None, :], INF)
+            min_area = areas.min(-1)
+            min_idx = areas.argmin(-1)
+            pos = min_area < INF / 2
+            labels = jnp.where(pos, gtl[min_idx], self.num_classes)
+            bbox_targets = jnp.take_along_axis(
+                targets, min_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+            bbox_targets = jnp.where(pos[:, None], bbox_targets, 0.0)
+            return labels, bbox_targets, pos, in_gt.any(-1)
+
+        labels, bbox_targets, pos, in_gt = jax.vmap(single)(
+            gt_bboxes, gt_labels, gt_valid)
+        return dict(labels=labels, bbox_targets=bbox_targets, pos=pos,
+                    in_gt=in_gt, points=points, strides=strides,
+                    level_id=level_id)
+
+    # ---- loss -----------------------------------------------------------------
+    def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
+        core = self._fcos_core(outputs, batch, featmap_sizes)
+        return {k: core[k] for k in ('loss_cls', 'loss_bbox',
+                                     'loss_centerness')}
+
+    def _fcos_core(self, outputs, batch, featmap_sizes):
+        cls_scores, bbox_preds, centernesses = outputs
+        t = self.fcos_targets(featmap_sizes, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'])
+        cls_flat = flatten_levels(cls_scores).astype(jnp.float32)
+        pred_flat = flatten_levels(bbox_preds).astype(jnp.float32)
+        ctr_flat = flatten_levels(centernesses).astype(jnp.float32)[..., 0]
+
+        pos = t['pos']
+        posf = pos.astype(jnp.float32)
+        num_pos = jnp.maximum(posf.sum(), 1.0)
+
+        loss_cls = self.loss_cls(cls_flat, t['labels'], avg_factor=num_pos)
+
+        # centerness targets (ld_fcos/fcos_gfl centerness_target)
+        bt = t['bbox_targets']
+        lr_min = jnp.minimum(bt[..., 0], bt[..., 2])
+        lr_max = jnp.maximum(jnp.maximum(bt[..., 0], bt[..., 2]), 1e-6)
+        tb_min = jnp.minimum(bt[..., 1], bt[..., 3])
+        tb_max = jnp.maximum(jnp.maximum(bt[..., 1], bt[..., 3]), 1e-6)
+        ctr_targets = jnp.where(
+            pos, jnp.sqrt(jnp.clip((lr_min / lr_max) * (tb_min / tb_max),
+                                   0.0)), 0.0)
+        bbox_avg = jnp.maximum(ctr_targets.sum(), 1e-6)
+
+        pts_n = t['points'][None] / t['strides'][None, :, None]
+        decoded = distance2bbox(pts_n, integral(pred_flat, self.reg_max))
+        decoded_targets = distance2bbox(
+            pts_n, bt / t['strides'][None, :, None])
+        loss_bbox = self.loss_bbox(decoded.reshape(-1, 4),
+                                   decoded_targets.reshape(-1, 4),
+                                   weight=ctr_targets.reshape(-1),
+                                   avg_factor=bbox_avg)
+
+        bce = jnp.maximum(ctr_flat, 0) - ctr_flat * ctr_targets + \
+            jnp.log1p(jnp.exp(-jnp.abs(ctr_flat)))
+        loss_centerness = self.loss_centerness.loss_weight * (
+            bce * posf).sum() / num_pos
+
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
+                    loss_centerness=loss_centerness, pos=pos, posf=posf,
+                    cls_flat=cls_flat, pred_flat=pred_flat, targets=t,
+                    num_pos=num_pos)
+
+    def get_bboxes(self, outputs, img_hw, scale_factor=None, rescale=False,
+                   cfg=None, with_nms=True):
+        cfg = cfg or self.test_cfg
+        cls_scores, bbox_preds, centernesses = outputs
+        featmap_sizes = [c.shape[1:3] for c in cls_scores]
+        points, strides, _, _ = self.point_geometry(featmap_sizes)
+        nms_pre = cfg.get('nms_pre', 1000)
+        lvl_sizes = [h * w for h, w in featmap_sizes]
+
+        def per_image(cls_list, pred_list, ctr_list, hw, sf):
+            boxes_all, scores_all = [], []
+            lo = 0
+            for lvl in range(len(featmap_sizes)):
+                n_lvl = lvl_sizes[lvl]
+                s = float(self.strides_cfg[lvl])
+                scores = jax.nn.sigmoid(
+                    cls_list[lvl].reshape(-1, self.cls_out_channels))
+                ctr = jax.nn.sigmoid(ctr_list[lvl].reshape(-1))
+                scores = scores * ctr[:, None]
+                dist = integral(pred_list[lvl].reshape(
+                    -1, 4 * (self.reg_max + 1)), self.reg_max) * s
+                pts = points[lo:lo + n_lvl]
+                if nms_pre > 0 and n_lvl > nms_pre:
+                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    scores, dist, pts = scores[topk], dist[topk], pts[topk]
+                boxes_all.append(distance2bbox(pts, dist, max_shape=hw))
+                scores_all.append(scores)
+                lo += n_lvl
+            boxes = jnp.concatenate(boxes_all)
+            scores = jnp.concatenate(scores_all)
+            if rescale and sf is not None:
+                boxes = boxes / sf[None, :]
+            return multiclass_nms(boxes, scores, cfg.get('score_thr', 0.05),
+                                  cfg.get('nms', {}).get('iou_threshold',
+                                                         0.6),
+                                  max_per_img=cfg.get('max_per_img', 100))
+
+        b = cls_scores[0].shape[0]
+        if scale_factor is None:
+            scale_factor = jnp.ones((b, 4))
+        return jax.vmap(per_image)([c for c in cls_scores],
+                                   [p for p in bbox_preds],
+                                   [c for c in centernesses], img_hw,
+                                   scale_factor)
+
+
+@HEADS.register_module()
+class LDFCOSHead(FCOSGFLHead):
+
+    def __init__(self, num_classes, in_channels, loss_ld=None, loss_kd=None,
+                 **kwargs):
+        super().__init__(num_classes, in_channels, **kwargs)
+        self.loss_ld = LOSSES.build(loss_ld or dict(
+            type='KnowledgeDistillationKLDivLoss', loss_weight=0.25, T=10))
+        self.loss_kd = LOSSES.build(loss_kd or dict(
+            type='KnowledgeDistillationKLDivLoss', loss_weight=10, T=2))
+
+    def loss(self, outputs, batch, featmap_sizes, soft_teacher,
+             student_feats=None, teacher_feats=None):
+        from ld_tpu.models.losses.kd_loss import (
+            knowledge_distillation_kl_div_loss)
+        core = self._fcos_core(outputs, batch, featmap_sizes)
+        losses = dict(loss_cls=core['loss_cls'], loss_bbox=core['loss_bbox'],
+                      loss_centerness=core['loss_centerness'])
+
+        soft_label = flatten_levels(soft_teacher[0]).astype(jnp.float32)
+        soft_target = flatten_levels(soft_teacher[1]).astype(jnp.float32)
+        pred_flat = core['pred_flat']
+        t = core['targets']
+        pos, posf = core['pos'], core['posf']
+
+        m1 = self.reg_max + 1
+        kd_side = knowledge_distillation_kl_div_loss(
+            pred_flat.reshape(-1, m1), soft_target.reshape(-1, m1),
+            reduction='none', T=self.loss_ld.T).reshape(*posf.shape, 4)
+        max_sig = jax.lax.stop_gradient(
+            jax.nn.sigmoid(core['cls_flat'])).max(-1)
+        losses['loss_ld'] = self.loss_ld.loss_weight * (
+            kd_side * (max_sig * posf)[..., None]).sum() / 4.0
+        # 'neg' region: inside some gt, not positive — weighted by student
+        # confidence (ld_fcos_head.py:119-131)
+        negf = (t['in_gt'] & ~pos).astype(jnp.float32)
+        losses['loss_ld_neg'] = 0.25 * self.loss_ld.loss_weight * (
+            kd_side * (max_sig * negf)[..., None]).sum() / 4.0
+
+        kd_el = knowledge_distillation_kl_div_loss(
+            core['cls_flat'], soft_label, reduction='none', T=self.loss_kd.T)
+        level_id = t['level_id']
+        n_pos_level = jax.ops.segment_sum(posf.sum(axis=0), level_id,
+                                          num_segments=len(self.strides_cfg))
+        per_anchor_norm = jnp.maximum(n_pos_level, 1.0)[level_id]
+        losses['loss_cls_kd'] = self.loss_kd.loss_weight * (
+            kd_el * posf / per_anchor_norm[None, :]).sum()
+        return losses

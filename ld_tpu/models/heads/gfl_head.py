@@ -132,9 +132,12 @@ class GFLHead:
         ag.pop('type', None)
         self.anchor_generator = AnchorGenerator(**ag)
         self.num_levels = self.anchor_generator.num_levels
-        self.loss_cls = LOSSES.build(loss_cls or dict(
+        loss_cls = loss_cls or dict(
             type='QualityFocalLoss', use_sigmoid=True, beta=2.0,
-            loss_weight=1.0))
+            loss_weight=1.0)
+        # GFLV2 heads emit probabilities (sigmoid*quality), not logits
+        self.use_sigmoid_cls = loss_cls.get('use_sigmoid', True)
+        self.loss_cls = LOSSES.build(loss_cls)
         self.loss_dfl = LOSSES.build(loss_dfl or dict(
             type='DistributionFocalLoss', loss_weight=0.25))
         self.loss_bbox = LOSSES.build(loss_bbox or dict(
@@ -146,8 +149,7 @@ class GFLHead:
         assigner_cfg = dict(self.train_cfg.get('assigner',
                                                dict(type='ATSSAssigner',
                                                     topk=9)))
-        assigner_cfg.pop('type', None)
-        self.assigner = ATSSAssigner(**assigner_cfg)
+        self.assigner = ASSIGNERS.build(assigner_cfg)
         self.net = self._build_net(dtype)
 
     def _build_net(self, dtype):
@@ -237,11 +239,11 @@ class GFLHead:
             jax.lax.stop_gradient(
                 bbox_overlaps(decoded, target_boxes, is_aligned=True)), 0.0)
 
-        # weight: max classification sigmoid (detached), positives only
+        # weight: max classification score (detached), positives only
+        cls_prob = jax.nn.sigmoid(cls_score) if self.use_sigmoid_cls \
+            else cls_score
         weight_targets = jnp.where(
-            pos,
-            jax.lax.stop_gradient(
-                jax.nn.sigmoid(cls_score)).max(axis=-1), 0.0)
+            pos, jax.lax.stop_gradient(cls_prob).max(axis=-1), 0.0)
         avg_factor = weight_targets.sum() + 1e-6
 
         loss_cls = self.loss_cls(cls_score, (labels, score),
@@ -291,7 +293,9 @@ class GFLHead:
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
 
         def decode_level(cls, pred, anchors, stride, hw):
-            scores = jax.nn.sigmoid(cls.reshape(-1, self.cls_out_channels))
+            scores = cls.reshape(-1, self.cls_out_channels)
+            if self.use_sigmoid_cls:
+                scores = jax.nn.sigmoid(scores)
             dist = integral(pred.reshape(-1, 4 * (self.reg_max + 1)),
                             self.reg_max) * stride
             n = scores.shape[0]

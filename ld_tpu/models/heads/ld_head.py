@@ -135,8 +135,8 @@ class LDHead(GFLHead):
             student_feats/teacher_feats: FPN features for imitation (optional
                 unless loss_im.loss_weight > 0).
         """
-        cls_scores, bbox_preds = outputs
-        soft_label_lvls, soft_target_lvls = soft_teacher
+        cls_scores, bbox_preds = outputs[0], outputs[1]
+        soft_label_lvls, soft_target_lvls = soft_teacher[0], soft_teacher[1]
 
         t = self.build_targets(featmap_sizes, batch['gt_bboxes'],
                                batch['gt_labels'], batch['gt_valid'],

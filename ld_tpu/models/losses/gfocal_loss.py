@@ -25,24 +25,35 @@ def _bce_with_logits(pred, target):
         jnp.exp(-jnp.abs(pred)))
 
 
+def _bce_on_probs(pred, target, eps=1e-12):
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    return -(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+
+
 @weighted_loss
 def quality_focal_loss(pred: jnp.ndarray, target, beta: float = 2.0,
                        use_sigmoid: bool = True):
     """Element-wise QFL.
 
     Args:
-        pred: (N, C) joint cls-quality logits.
+        pred: (N, C) joint cls-quality logits (use_sigmoid=True, GFLV1) or
+            probabilities (use_sigmoid=False, GFLV2 — the DGQP head outputs
+            sigmoid(cls)*quality directly).
         target: tuple (label (N,) int with background == C, score (N,) float).
     Returns:
         (N,) per-anchor loss (summed over classes).
     """
-    assert use_sigmoid, 'only the sigmoid variant is used by GFL/LD'
     label, score = target
     num_classes = pred.shape[-1]
-    pred_sigmoid = jax.nn.sigmoid(pred)
+    if use_sigmoid:
+        bce = _bce_with_logits
+        pred_sigmoid = jax.nn.sigmoid(pred)
+    else:
+        bce = _bce_on_probs
+        pred_sigmoid = pred
 
     # all positions start as negatives: target quality 0
-    loss = _bce_with_logits(pred, jnp.zeros_like(pred)) * pred_sigmoid**beta
+    loss = bce(pred, jnp.zeros_like(pred)) * pred_sigmoid**beta
 
     # positives: the assigned class channel is supervised by the IoU score
     pos = (label >= 0) & (label < num_classes)
@@ -50,8 +61,7 @@ def quality_focal_loss(pred: jnp.ndarray, target, beta: float = 2.0,
     onehot = jax.nn.one_hot(safe_label, num_classes, dtype=pred.dtype)
     onehot = onehot * pos[..., None].astype(pred.dtype)
     score_b = score[..., None]
-    pos_loss = _bce_with_logits(pred, score_b) * jnp.abs(
-        score_b - pred_sigmoid)**beta
+    pos_loss = bce(pred, score_b) * jnp.abs(score_b - pred_sigmoid)**beta
     loss = loss * (1.0 - onehot) + pos_loss * onehot
     return loss.sum(axis=-1)
 

@@ -39,10 +39,17 @@ class FPN(nn.Module):
     num_outs: int = 5
     start_level: int = 0
     end_level: int = -1
-    add_extra_convs: str = None      # None | 'on_input' | 'on_lateral' | 'on_output'
+    # None/False | True | 'on_input' / 'on_lateral' / 'on_output'
+    add_extra_convs: object = None
+    extra_convs_on_inputs: bool = True   # legacy bool form (mmdet <=2.10)
     relu_before_extra_convs: bool = False
     no_norm_on_lateral: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _extra_convs_mode(self):
+        if self.add_extra_convs is True:
+            return 'on_input' if self.extra_convs_on_inputs else 'on_output'
+        return self.add_extra_convs or None
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -71,14 +78,15 @@ class FPN(nn.Module):
 
         # extra levels
         if self.num_outs > len(outs):
-            if not self.add_extra_convs:
+            mode = self._extra_convs_mode()
+            if not mode:
                 for _ in range(self.num_outs - len(outs)):
                     outs.append(nn.max_pool(outs[-1], (1, 1),
                                             strides=(2, 2)))
             else:
-                if self.add_extra_convs == 'on_input':
+                if mode == 'on_input':
                     extra = inputs[used[-1]]
-                elif self.add_extra_convs == 'on_lateral':
+                elif mode == 'on_lateral':
                     extra = laterals[-1]
                 else:  # 'on_output'
                     extra = outs[-1]

@@ -3,9 +3,10 @@ from .boxes import (bbox_overlaps, distance2bbox, bbox2distance,
 from .anchors import AnchorGenerator, PointGenerator
 from .integral import integral
 from .atss_assigner import ATSSAssigner, AssignResult
+from .max_iou_assigner import MaxIoUAssigner
 
 __all__ = [
     'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
     'bbox_flip', 'AnchorGenerator', 'PointGenerator', 'integral',
-    'ATSSAssigner', 'AssignResult'
+    'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner'
 ]

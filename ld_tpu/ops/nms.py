@@ -125,12 +125,24 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
     keep = _cluster_nms_keep(offset_boxes, top_scores, iou_threshold,
                              valid=cand_valid)
 
+    return _finalize(keep, top_scores, cand_boxes, class_idx, max_per_img)
+
+
+def _finalize(keep, top_scores, boxes, class_idx, max_per_img):
+    """Top `max_per_img` surviving candidates, zero-padded to a fixed size."""
     kept_scores = jnp.where(keep, top_scores, -jnp.inf)
-    out_scores, pos = jax.lax.top_k(kept_scores, max_per_img)
+    m = min(max_per_img, kept_scores.shape[0])
+    out_scores, pos = jax.lax.top_k(kept_scores, m)
     out_valid = out_scores > 0.0
     out_scores = jnp.where(out_valid, out_scores, 0.0)
-    out_boxes = jnp.where(out_valid[:, None], cand_boxes[pos], 0.0)
+    out_boxes = jnp.where(out_valid[:, None], boxes[pos], 0.0)
     out_labels = jnp.where(out_valid, class_idx[pos], -1)
+    pad = max_per_img - m
+    if pad:
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+        out_valid = jnp.pad(out_valid, (0, pad))
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
     return dets, out_labels, out_valid
 
@@ -182,14 +194,7 @@ def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
     w = jnp.where(same_class & cand_valid[None, :] & (iou_plain > 0), w, 0.0)
     voted = (w @ cand_boxes) / jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
 
-    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
-    out_scores, pos = jax.lax.top_k(kept_scores, max_per_img)
-    out_valid = out_scores > 0.0
-    out_scores = jnp.where(out_valid, out_scores, 0.0)
-    out_boxes = jnp.where(out_valid[:, None], voted[pos], 0.0)
-    out_labels = jnp.where(out_valid, class_idx[pos], -1)
-    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
-    return dets, out_labels, out_valid
+    return _finalize(keep, top_scores, voted, class_idx, max_per_img)
 
 
 def batched_multiclass_nms(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
