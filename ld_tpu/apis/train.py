@@ -130,6 +130,31 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
             if max_steps and global_step >= max_steps:
                 break
         save_checkpoint(work_dir, state)
+        # eval hook (parity: mmdet EvalHook, eval_hooks.py:14)
+        eval_every = eval_interval_epochs or cfg.get('evaluation', {}).get(
+            'interval', 0)
+        if eval_every and (epoch + 1) % eval_every == 0 and \
+                'val' in cfg.get('data', {}):
+            try:
+                from ld_tpu.apis.test import eval_detector
+                from ld_tpu.data import build_dataset
+                val_ds = build_dataset(cfg.data['val'])
+                variables = {'params': state.params,
+                             'batch_stats': state.batch_stats}
+                results = eval_detector(detector, variables, val_ds,
+                                        pad_hw=pad_hw, mesh=mesh)
+                val_metrics = val_ds.evaluate(
+                    results, metric=cfg.get('evaluation', {}).get('metric',
+                                                                  'bbox'))
+                line = dict(mode='val', epoch=epoch + 1, iter=global_step,
+                            **{k: round(float(v), 5)
+                               for k, v in val_metrics.items()
+                               if isinstance(v, (int, float))})
+                logger.info(' '.join(f'{k}={v}' for k, v in line.items()))
+                json_log.write(json.dumps(line) + '\n')
+                json_log.flush()
+            except FileNotFoundError as e:
+                logger.warning(f'eval skipped: {e}')
         if max_steps and global_step >= max_steps:
             break
     json_log.close()

@@ -18,6 +18,14 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+def _native():
+    try:
+        from ld_tpu.native.build import load_cocomatch
+        return load_cocomatch()
+    except Exception:
+        return None
+
+
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
 AREA_RNG = {
@@ -52,6 +60,9 @@ def _match_single(det_boxes, det_scores, gt_boxes, gt_crowd, area_rng,
       dtm: (T, D) matched-gt flag per IoU threshold (1 matched-to-counted gt),
       dt_ignore: (T, D) detection ignored,
       npig: number of counted (non-ignored) gts.
+
+    Dispatches to the C++ kernel (ld_tpu/native/coco_match.cpp) when built;
+    the numpy path below is the behavioural reference.
     """
     T = len(IOU_THRS)
     order = np.argsort(-det_scores, kind='mergesort')[:max_det]
@@ -70,6 +81,29 @@ def _match_single(det_boxes, det_scores, gt_boxes, gt_crowd, area_rng,
     gt_ignore = gt_ignore[g_order]
     G = len(gt_boxes)
     npig = int((~gt_ignore).sum())
+
+    lib = _native()
+    if lib is not None:
+        import ctypes
+        db = np.ascontiguousarray(det_boxes, np.float64)
+        gb = np.ascontiguousarray(gt_boxes, np.float64)
+        gc = np.ascontiguousarray(gt_crowd, np.uint8)
+        gi = np.ascontiguousarray(gt_ignore, np.uint8)
+        thrs = np.ascontiguousarray(IOU_THRS, np.float64)
+        rng = np.ascontiguousarray(area_rng, np.float64)
+        dtm8 = np.zeros((T, D), np.uint8)
+        dtig8 = np.zeros((T, D), np.uint8)
+
+        def ptr(a, ty):
+            return a.ctypes.data_as(ctypes.POINTER(ty))
+
+        lib.coco_match(ptr(db, ctypes.c_double), D,
+                       ptr(gb, ctypes.c_double), ptr(gc, ctypes.c_uint8),
+                       ptr(gi, ctypes.c_uint8), G,
+                       ptr(thrs, ctypes.c_double), T,
+                       ptr(rng, ctypes.c_double),
+                       ptr(dtm8, ctypes.c_uint8), ptr(dtig8, ctypes.c_uint8))
+        return dtm8.astype(bool), dtig8.astype(bool), det_scores, npig
 
     ious = _iou_xyxy(det_boxes, gt_boxes, gt_crowd)
     dtm = np.zeros((T, D), bool)

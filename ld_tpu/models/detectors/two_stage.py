@@ -1,0 +1,169 @@
+"""Two-stage detector (Faster R-CNN family) + its KD/LD wrapper.
+
+Parity:
+  * TwoStageDetector — /root/reference/mmdet/models/detectors/two_stage.py:10
+    (backbone -> neck -> RPN -> proposals -> ROI head).
+  * KnowledgeDistillationTwoStageDetector —
+    /root/reference/mmdet/models/detectors/kd_two_stage.py:10: frozen teacher
+    built from teacher_config; distillation flows through the RPN head
+    (kd_two_stage.py:80-111 passes teacher RPN outputs + FPN features into
+    rpn_head.forward_train); the ROI head trains normally. The reference
+    ships no config for it — this implementation is exercised by unit tests.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ld_tpu.utils.config import Config
+from ld_tpu.utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
+from .kd_one_stage import _resolve_config
+
+
+class TwoStageNet(nn.Module):
+    """Backbone + neck + RPN parameter tree (the ROI net has its own tree —
+    it consumes data-dependent roi features, so it is applied separately)."""
+    backbone: nn.Module
+    neck: Optional[nn.Module]
+    rpn_net: nn.Module
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        x = self.backbone(images, train)
+        if self.neck is not None:
+            x = self.neck(x, train)
+        rpn_outs = self.rpn_net(list(x), train)
+        return x, rpn_outs
+
+
+@DETECTORS.register_module()
+class TwoStageDetector:
+
+    def __init__(self, backbone, neck=None, rpn_head=None, roi_head=None,
+                 train_cfg=None, test_cfg=None, pretrained=None, **kwargs):
+        train_cfg = train_cfg or {}
+        test_cfg = test_cfg or {}
+        self.backbone = BACKBONES.build(dict(backbone))
+        self.neck = NECKS.build(dict(neck)) if neck else None
+        rpn_cfg = dict(rpn_head or dict(type='RPNHead', in_channels=256))
+        rpn_cfg.setdefault('train_cfg', train_cfg.get('rpn'))
+        rpn_cfg.setdefault('test_cfg', test_cfg.get('rpn'))
+        self.rpn_head = HEADS.build(rpn_cfg)
+        roi_cfg = dict(roi_head or dict(type='StandardRoIHead'))
+        roi_cfg.setdefault('train_cfg', train_cfg.get('rcnn'))
+        roi_cfg.setdefault('test_cfg', test_cfg.get('rcnn'))
+        self.roi_head = HEADS.build(roi_cfg)
+        self.net = TwoStageNet(self.backbone, self.neck, self.rpn_head.net)
+        self.num_classes = self.roi_head.num_classes
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+
+    def init_variables(self, rng, input_shape=(1, 64, 64, 3)) -> Dict:
+        r1, r2 = jax.random.split(rng)
+        backbone_vars = self.net.init(r1, jnp.zeros(input_shape))
+        # ROI net params initialized with a dummy roi batch
+        c = 256
+        roi_vars = self.roi_head.net.init(
+            r2, jnp.zeros((1, self.roi_head.roi_size,
+                           self.roi_head.roi_size, c)))
+        variables = dict(backbone_vars)
+        variables['params'] = dict(variables['params'])
+        variables['params']['roi_head'] = roi_vars['params']
+        return variables
+
+    def frozen_param_paths(self):
+        return ['backbone/' + p for p in self.backbone.frozen_param_paths()]
+
+    def _split(self, variables):
+        params = dict(variables['params'])
+        roi_params = {'params': params.pop('roi_head')}
+        main = {'params': params,
+                'batch_stats': variables.get('batch_stats', {})}
+        return main, roi_params
+
+    def extract(self, variables, images, train=False):
+        main, roi = self._split(variables)
+        feats, rpn_outs = self.net.apply(main, images, train=train)
+        return feats, rpn_outs, roi
+
+    def forward_train(self, variables, batch, rng=None
+                      ) -> Dict[str, jnp.ndarray]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        feats, rpn_outs, roi_vars = self.extract(variables, batch['image'],
+                                                 train=True)
+        featmap_sizes = [c.shape[1:3] for c in rpn_outs[0]]
+        losses = dict(self.rpn_head.loss(rpn_outs, batch, featmap_sizes,
+                                         rng=jax.random.fold_in(rng, 1)))
+        proposals, prop_valid = self.rpn_head.get_proposals(
+            rpn_outs, batch['img_hw'],
+            cfg=self.train_cfg.get('rpn_proposal'))
+        proposals = jax.lax.stop_gradient(proposals)
+        roi_losses = self.roi_head.forward_train(
+            roi_vars, list(feats), proposals, prop_valid, batch,
+            rng=jax.random.fold_in(rng, 2))
+        losses.update(roi_losses)
+        return losses
+
+    def forward_test(self, variables, batch, rescale=False):
+        feats, rpn_outs, roi_vars = self.extract(variables, batch['image'])
+        proposals, prop_valid = self.rpn_head.get_proposals(
+            rpn_outs, batch['img_hw'])
+        return self.roi_head.simple_test(
+            roi_vars, list(feats), proposals, prop_valid, batch['img_hw'],
+            batch.get('scale_factor'), rescale=rescale)
+
+    simple_test = forward_test
+
+
+for _name in ('FasterRCNN', 'MaskRCNN', 'CascadeRCNN'):
+    DETECTORS.register_module(name=_name, module=type(
+        _name, (TwoStageDetector, ), {}))
+
+
+@DETECTORS.register_module()
+class KnowledgeDistillationTwoStageDetector(TwoStageDetector):
+
+    def __init__(self, backbone, neck, rpn_head, roi_head, teacher_config,
+                 teacher_ckpt=None, eval_teacher=True, output_feature=False,
+                 train_cfg=None, test_cfg=None, pretrained=None, **kwargs):
+        super().__init__(backbone, neck, rpn_head, roi_head, train_cfg,
+                         test_cfg, pretrained)
+        if isinstance(teacher_config, str):
+            teacher_config = Config.fromfile(_resolve_config(teacher_config))
+        self.teacher = DETECTORS.build(dict(teacher_config['model']))
+        self.teacher_ckpt = teacher_ckpt
+        self.output_feature = output_feature
+
+    def init_teacher_variables(self, rng, input_shape=(1, 64, 64, 3)):
+        return self.teacher.init_variables(rng, input_shape)
+
+    def forward_train(self, variables, batch, teacher_variables=None,
+                      rng=None) -> Dict[str, jnp.ndarray]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        feats, rpn_outs, roi_vars = self.extract(variables, batch['image'],
+                                                 train=True)
+        t_feats, t_rpn_outs, _ = self.teacher.extract(teacher_variables,
+                                                      batch['image'])
+        t_rpn_outs = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                            t_rpn_outs)
+        featmap_sizes = [c.shape[1:3] for c in rpn_outs[0]]
+        rpn_loss_fn = getattr(self.rpn_head, 'loss_with_teacher', None)
+        if rpn_loss_fn is not None:
+            losses = dict(rpn_loss_fn(rpn_outs, batch, featmap_sizes,
+                                      t_rpn_outs,
+                                      rng=jax.random.fold_in(rng, 1)))
+        else:
+            losses = dict(self.rpn_head.loss(rpn_outs, batch, featmap_sizes,
+                                             rng=jax.random.fold_in(rng, 1)))
+        proposals, prop_valid = self.rpn_head.get_proposals(
+            rpn_outs, batch['img_hw'],
+            cfg=self.train_cfg.get('rpn_proposal'))
+        proposals = jax.lax.stop_gradient(proposals)
+        roi_losses = self.roi_head.forward_train(
+            roi_vars, list(feats), proposals, prop_valid, batch,
+            rng=jax.random.fold_in(rng, 2))
+        losses.update(roi_losses)
+        return losses

@@ -3,6 +3,8 @@ from .ld_head import LDHead
 from .gfocal_head import GFocalHead, GFocalHeadNet
 from .ld_gflv2 import LDv2Head
 from .imitation_heads import IMHead, IMv2Head
+from .rpn_head import RPNHead, RPNHeadNet
+from .roi_head import StandardRoIHead, Shared2FCBBoxHeadNet
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
 from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
 from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
@@ -10,4 +12,4 @@ from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
            'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSHead', 'RetinaGFLHead',
-           'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head']
+           'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet']

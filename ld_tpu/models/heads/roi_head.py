@@ -1,0 +1,207 @@
+"""Standard two-stage ROI head (bbox branch).
+
+Parity: /root/reference/mmdet/models/roi_heads/standard_roi_head.py:10 +
+bbox_heads/convfc_bbox_head.py (Shared2FCBBoxHead) +
+roi_extractors/single_level_roi_extractor.py — proposal assignment (MaxIoU
+0.5/0.5), 512-roi sampling at pos_fraction 0.25 with gt boxes added as
+proposals, FPN-level-routed RoIAlign 7x7, 2 shared FCs, softmax CE +
+class-specific delta regression.
+
+TPU re-design: fixed proposal/roi counts with validity masks end-to-end; the
+random sampler is the same masked randomized top-k used by the RPN head.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ld_tpu.ops import MaxIoUAssigner
+from ld_tpu.ops.coder import build_coder
+from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.roi_align import multi_level_roi_align
+from ld_tpu.utils.registry import HEADS, LOSSES
+from .rpn_head import randomized_topk_mask
+
+
+class Shared2FCBBoxHeadNet(nn.Module):
+    num_classes: int
+    fc_dim: int = 1024
+    roi_size: int = 7
+    in_channels: int = 256
+    reg_class_agnostic: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats (R, 7, 7, C) -> cls (R, num_classes+1), reg (R, 4[*C])."""
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc1')(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc2')(x))
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name='fc_cls')(x)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name='fc_reg')(x)
+        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+
+
+@HEADS.register_module()
+class StandardRoIHead:
+
+    def __init__(self, bbox_roi_extractor=None, bbox_head=None,
+                 train_cfg=None, test_cfg=None, dtype=jnp.float32, **kwargs):
+        bbox_head = dict(bbox_head or {})
+        self.num_classes = bbox_head.get('num_classes', 80)
+        self.reg_class_agnostic = bbox_head.get('reg_class_agnostic', False)
+        self.coder = build_coder(bbox_head.get('bbox_coder') or dict(
+            type='DeltaXYWHBBoxCoder', target_means=[0., 0., 0., 0.],
+            target_stds=[0.1, 0.1, 0.2, 0.2]))
+        self.loss_cls_fn = LOSSES.build(bbox_head.get('loss_cls') or dict(
+            type='CrossEntropyLoss', use_sigmoid=False, loss_weight=1.0))
+        self.loss_bbox_fn = LOSSES.build(bbox_head.get('loss_bbox') or dict(
+            type='L1Loss', loss_weight=1.0))
+        ext = dict(bbox_roi_extractor or {})
+        self.roi_size = ext.get('roi_layer', {}).get('output_size', 7)
+        self.featmap_strides = tuple(ext.get('featmap_strides',
+                                             (4, 8, 16, 32)))
+        self.train_cfg = train_cfg or {}
+        self.test_cfg = test_cfg or dict(
+            score_thr=0.05, nms=dict(iou_threshold=0.5), max_per_img=100)
+        a_cfg = dict(self.train_cfg.get('assigner', dict(
+            type='MaxIoUAssigner', pos_iou_thr=0.5, neg_iou_thr=0.5,
+            min_pos_iou=0.5)))
+        a_cfg.pop('type', None)
+        self.assigner = MaxIoUAssigner(**a_cfg)
+        s_cfg = dict(self.train_cfg.get('sampler', dict(
+            num=512, pos_fraction=0.25, add_gt_as_proposals=True)))
+        self.num_samples = s_cfg.get('num', 512)
+        self.pos_fraction = s_cfg.get('pos_fraction', 0.25)
+        self.add_gt_as_proposals = s_cfg.get('add_gt_as_proposals', True)
+        self.net = Shared2FCBBoxHeadNet(
+            num_classes=self.num_classes, roi_size=self.roi_size,
+            in_channels=bbox_head.get('in_channels', 256),
+            fc_dim=bbox_head.get('fc_out_channels', 1024),
+            reg_class_agnostic=self.reg_class_agnostic, dtype=dtype)
+
+    # ---- training -------------------------------------------------------------
+    def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
+                    gt_valid, rng):
+        """Assign + sample a fixed set of rois for ONE image."""
+        if self.add_gt_as_proposals:
+            proposals = jnp.concatenate([gt_bboxes, proposals])
+            prop_valid = jnp.concatenate([gt_valid, prop_valid])
+        res = self.assigner.assign(
+            proposals, [proposals.shape[0]], gt_bboxes, gt_labels, gt_valid,
+            prop_valid, num_classes=self.num_classes)
+        r1, r2 = jax.random.split(rng)
+        num_pos_max = int(self.num_samples * self.pos_fraction)
+        pos_sel = randomized_topk_mask(res.pos_mask & prop_valid,
+                                       num_pos_max, r1)
+        n_pos = pos_sel.sum()
+        neg_mask = (~res.pos_mask) & prop_valid
+        keys = jnp.where(neg_mask, jax.random.uniform(r2, neg_mask.shape),
+                         -1.0)
+        kth_idx = jnp.clip(self.num_samples - n_pos - 1, 0,
+                           neg_mask.shape[0] - 1)
+        kth = jnp.sort(keys)[::-1][kth_idx]
+        neg_sel = neg_mask & (keys >= jnp.maximum(kth, 0.0))
+
+        sel = pos_sel | neg_sel
+        # gather a fixed `num_samples` roi set (selected first, by key rank)
+        rank_keys = jnp.where(pos_sel, 2.0, jnp.where(neg_sel, 1.0, 0.0)) + \
+            jax.random.uniform(jax.random.fold_in(rng, 7),
+                               sel.shape) * 0.5
+        _, order = jax.lax.top_k(rank_keys, self.num_samples)
+        rois = proposals[order]
+        roi_valid = sel[order]
+        roi_pos = pos_sel[order]
+        safe = jnp.clip(res.assigned_gt_inds, 0)[order]
+        labels = jnp.where(roi_pos, res.labels[order], self.num_classes)
+        deltas = self.coder.encode(rois, gt_bboxes[safe])
+        return rois, roi_valid, roi_pos, labels, deltas
+
+    def forward_train(self, variables, feats, proposals, prop_valid, batch,
+                      rng) -> Dict[str, jnp.ndarray]:
+        """feats: list of (B, H, W, C); proposals (B, P, 4)."""
+        b = proposals.shape[0]
+        rngs = jax.random.split(rng, b)
+        rois, roi_valid, roi_pos, labels, deltas = jax.vmap(
+            self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'], rngs)
+
+        def extract(img_feats, img_rois, img_valid):
+            return multi_level_roi_align(
+                img_feats, img_rois, img_valid, self.roi_size,
+                self.featmap_strides)
+
+        roi_feats = jax.vmap(extract)(
+            [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
+        cls, reg = self.net.apply(
+            variables, roi_feats.reshape(-1, self.roi_size, self.roi_size,
+                                         roi_feats.shape[-1]))
+        labels_f = labels.reshape(-1)
+        validf = roi_valid.reshape(-1).astype(jnp.float32)
+        posf = roi_pos.reshape(-1).astype(jnp.float32)
+        avg = jnp.maximum(validf.sum(), 1.0)
+        loss_cls = self.loss_cls_fn(cls, labels_f, weight=validf,
+                                    avg_factor=avg)
+        if self.reg_class_agnostic:
+            reg_sel = reg
+        else:
+            reg = reg.reshape(-1, self.num_classes, 4)
+            safe_lab = jnp.clip(labels_f, 0, self.num_classes - 1)
+            reg_sel = jnp.take_along_axis(
+                reg, safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        loss_bbox = self.loss_bbox_fn(
+            reg_sel, deltas.reshape(-1, 4),
+            weight=jnp.repeat(posf[:, None], 4, 1),
+            avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
+        acc_mask = validf > 0
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    # ---- inference ------------------------------------------------------------
+    def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
+                    scale_factor=None, rescale=False, cfg=None):
+        cfg = cfg or self.test_cfg
+
+        def per_image(img_feats, img_rois, img_valid, hw, sf):
+            roi_feats = multi_level_roi_align(
+                img_feats, img_rois, img_valid, self.roi_size,
+                self.featmap_strides)
+            cls, reg = self.net.apply(variables, roi_feats)
+            scores = jax.nn.softmax(cls, axis=-1)[:, :self.num_classes]
+            scores = scores * img_valid[:, None]
+            if self.reg_class_agnostic:
+                boxes = self.coder.decode(img_rois, reg, max_shape=hw)
+                boxes = jnp.broadcast_to(boxes[:, None, :],
+                                         (boxes.shape[0], self.num_classes,
+                                          4))
+            else:
+                reg = reg.reshape(-1, self.num_classes, 4)
+                boxes = self.coder.decode(img_rois[:, None, :], reg,
+                                          max_shape=hw)
+            if rescale and sf is not None:
+                boxes = boxes / sf[None, None, :]
+            # class-specific boxes: flatten (R, C) pairs for the NMS
+            flat_boxes = boxes.reshape(-1, 4)
+            flat_scores = scores.reshape(-1)
+            # multiclass_nms expects (N, C); rebuild a sparse layout
+            return multiclass_nms(
+                flat_boxes,
+                jax.nn.one_hot(jnp.tile(jnp.arange(self.num_classes),
+                                        scores.shape[0]),
+                               self.num_classes) * flat_scores[:, None],
+                cfg.get('score_thr', 0.05),
+                cfg.get('nms', {}).get('iou_threshold', 0.5),
+                max_per_img=cfg.get('max_per_img', 100))
+
+        if scale_factor is None:
+            scale_factor = jnp.ones((proposals.shape[0], 4))
+        return jax.vmap(per_image)(
+            [f for f in feats[:len(self.featmap_strides)]], proposals,
+            prop_valid, img_hw, scale_factor)

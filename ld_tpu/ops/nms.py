@@ -26,6 +26,16 @@ import jax.numpy as jnp
 from .boxes import bbox_overlaps
 
 
+def _use_pallas(k: int, overlap_mode: str) -> bool:
+    """Route to the VMEM-resident Pallas kernel on TPU backends."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:  # pragma: no cover
+        return False
+    return (backend in ('tpu', 'axon') and overlap_mode == 'iou'
+            and k % 8 == 0 and k <= 2048)
+
+
 def _cluster_nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
                       iou_threshold: float, overlap_mode: str = 'iou',
                       valid=None) -> jnp.ndarray:
@@ -39,6 +49,10 @@ def _cluster_nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
         (K,) bool keep mask (still in sorted order).
     """
     k = boxes.shape[0]
+    if _use_pallas(k, overlap_mode):
+        from .pallas_nms import pallas_nms_keep
+        v = jnp.ones((k, ), bool) if valid is None else valid
+        return pallas_nms_keep(boxes, v, iou_threshold)
     iou = bbox_overlaps(boxes, boxes, mode=overlap_mode)
     tri = jnp.triu(jnp.ones((k, k), bool), k=1)
     suppress = (iou > iou_threshold) & tri          # i suppresses j (i<j)
