@@ -1,0 +1,6 @@
+# GFL R-101 VOC teacher. Parity: reference VOC teacher config.
+_base_ = ['./gfl_r101_fpn_mstrain_2x_coco.py',
+          '../_base_/datasets/voc0712.py']
+model = dict(bbox_head=dict(num_classes=20))
+lr_config = dict(step=[3])
+runner = dict(max_epochs=4)

@@ -1,3 +1,5 @@
-from .resnet import ResNet, BasicBlock, Bottleneck, BatchNorm
+from .resnet import (ResNet, ResNeXt, ResNetV1d, BasicBlock, Bottleneck,
+                     BatchNorm)
 
-__all__ = ['ResNet', 'BasicBlock', 'Bottleneck', 'BatchNorm']
+__all__ = ['ResNet', 'ResNeXt', 'ResNetV1d', 'BasicBlock', 'Bottleneck',
+           'BatchNorm']

@@ -55,6 +55,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     norm_eval: bool = True
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,14 +69,20 @@ class BasicBlock(nn.Module):
         out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
                         dtype=self.dtype)(out, train)
         if self.downsample:
-            identity = nn.Conv(self.filters, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv',
-                               dtype=self.dtype)(x)
-            identity = BatchNorm(use_running_average=self.norm_eval,
-                                 name='downsample_norm',
-                                 dtype=self.dtype)(identity, train)
+            identity = _shortcut(x, self.filters, self.stride,
+                                 self.avg_down, self.norm_eval, self.dtype,
+                                 train)
         return nn.relu(out + identity)
+
+
+def _shortcut(x, features, stride, avg_down, norm_eval, dtype, train):
+    if avg_down and stride > 1:
+        x = nn.avg_pool(x, (stride, stride), strides=(stride, stride))
+        stride = 1
+    x = nn.Conv(features, (1, 1), strides=(stride, stride), use_bias=False,
+                name='downsample_conv', dtype=dtype)(x)
+    return BatchNorm(use_running_average=norm_eval, name='downsample_norm',
+                     dtype=dtype)(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -84,22 +91,29 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     norm_eval: bool = True
     dilation: int = 1
+    groups: int = 1          # >1 + base_width: ResNeXt cardinality
+    base_width: int = 64
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1',
+        # ResNeXt widens the bottleneck by groups * base_width / 64
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups \
+            if self.groups > 1 else self.filters
+        out = nn.Conv(width, (1, 1), use_bias=False, name='conv1',
                       dtype=self.dtype)(x)
         out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
                         dtype=self.dtype)(out, train)
         out = nn.relu(out)
-        # 'pytorch' style: spatial stride on the 3x3
-        out = nn.Conv(self.filters, (3, 3),
+        # 'pytorch' style: spatial stride on the (possibly grouped) 3x3
+        out = nn.Conv(width, (3, 3),
                       strides=(self.stride, self.stride),
                       padding=[(self.dilation, self.dilation)] * 2,
                       kernel_dilation=(self.dilation, self.dilation),
+                      feature_group_count=self.groups,
                       use_bias=False, name='conv2', dtype=self.dtype)(out)
         out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
                         dtype=self.dtype)(out, train)
@@ -109,13 +123,9 @@ class Bottleneck(nn.Module):
         out = BatchNorm(use_running_average=self.norm_eval, name='norm3',
                         dtype=self.dtype)(out, train)
         if self.downsample:
-            identity = nn.Conv(self.filters * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv',
-                               dtype=self.dtype)(x)
-            identity = BatchNorm(use_running_average=self.norm_eval,
-                                 name='downsample_norm',
-                                 dtype=self.dtype)(identity, train)
+            identity = _shortcut(x, self.filters * self.expansion,
+                                 self.stride, self.avg_down, self.norm_eval,
+                                 self.dtype, train)
         return nn.relu(out + identity)
 
 
@@ -142,6 +152,8 @@ class ResNet(nn.Module):
     style: str = 'pytorch'
     deep_stem: bool = False
     avg_down: bool = False
+    groups: int = 1             # ResNeXt cardinality
+    base_width: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -181,9 +193,12 @@ class ResNet(nn.Module):
                            (s != 1 or in_planes != planes * expansion))
                 kwargs = dict(filters=planes, stride=s, downsample=need_ds,
                               norm_eval=self.norm_eval, dtype=self.dtype,
+                              avg_down=self.avg_down,
                               name=f'layer{stage+1}_{b}')
                 if block_cls is Bottleneck:
                     kwargs['dilation'] = dilation
+                    kwargs['groups'] = self.groups
+                    kwargs['base_width'] = self.base_width
                 x = block_cls(**kwargs)(x, train)
             in_planes = planes * getattr(block_cls, 'expansion', 1)
             if stage + 1 <= self.frozen_stages:
@@ -201,3 +216,21 @@ class ResNet(nn.Module):
         for stage in range(1, self.frozen_stages + 1):
             paths.append(f'layer{stage}_')
         return paths
+
+
+@BACKBONES.register_module()
+class ResNeXt(ResNet):
+    """ResNeXt (grouped bottlenecks). Parity:
+    /root/reference/mmdet/models/backbones/resnext.py (X-101-32x4d etc. used
+    by the self-LD X101 row, README.md:148-149). Configure with
+    `groups`/`base_width` (e.g. groups=32, base_width=4)."""
+    groups: int = 32
+    base_width: int = 4
+
+
+@BACKBONES.register_module()
+class ResNetV1d(ResNet):
+    """ResNet-V1d (deep 3x3 stem + avg-down shortcuts). Parity:
+    /root/reference/mmdet/models/backbones/resnet.py:652."""
+    deep_stem: bool = True
+    avg_down: bool = True

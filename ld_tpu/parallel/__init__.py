@@ -1,4 +1,5 @@
 from .mesh import create_mesh, data_sharding, replicated, shard_batch
+from .distributed import init_distributed, is_main_process, all_gather_host
 from .optim import build_optimizer, build_lr_schedule, frozen_mask
 from .train_step import (TrainState, create_train_state, make_train_step,
                          jit_train_step, make_eval_step)
@@ -7,5 +8,6 @@ __all__ = [
     'create_mesh', 'data_sharding', 'replicated', 'shard_batch',
     'build_optimizer', 'build_lr_schedule', 'frozen_mask', 'TrainState',
     'create_train_state', 'make_train_step', 'jit_train_step',
-    'make_eval_step'
+    'make_eval_step', 'init_distributed', 'is_main_process',
+    'all_gather_host'
 ]
