@@ -222,6 +222,67 @@ class Collect:
         return out
 
 
+@PIPELINES.register_module()
+class FusedPreprocess:
+    """Resize(keep_ratio) + BGR->RGB + Normalize + Pad in ONE native pass
+    (ld_tpu/native/image_prep.cpp), falling back to the separate transforms.
+
+    Drop-in replacement for the standard [Resize, Normalize, Pad] tail; the
+    host input feed is the bottleneck on CPU-poor hosts and this halves its
+    memory traffic.
+    """
+
+    def __init__(self, img_scale=(1333, 800), size_divisor=32,
+                 mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375), to_rgb=True):
+        self.img_scale = img_scale
+        self.size_divisor = size_divisor
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+        self._fallback = Compose([
+            Resize(img_scale=img_scale, keep_ratio=True),
+            Normalize(mean, std, to_rgb),
+            Pad(size_divisor=size_divisor),
+        ])
+
+    def __call__(self, results: Dict) -> Dict:
+        from ld_tpu.native.build import load_imageprep
+        lib = load_imageprep()
+        img = results['img']
+        if lib is None or img.dtype != np.uint8:
+            return self._fallback(results)
+        import ctypes
+        h, w = img.shape[:2]
+        factor = rescale_size(h, w, self.img_scale)
+        new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
+        d = self.size_divisor
+        dh = ((new_h + d - 1) // d) * d
+        dw = ((new_w + d - 1) // d) * d
+        out = np.empty((dh, dw, 3), np.float32)
+        src = np.ascontiguousarray(img)
+        lib.image_prep(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw,
+            new_h, new_w,
+            self.mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            1 if self.to_rgb else 0)
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results['img'] = out
+        results['img_shape'] = (new_h, new_w, 3)
+        results['pad_shape'] = out.shape
+        results['scale_factor'] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        if 'gt_bboxes' in results:
+            bb = results['gt_bboxes'] * results['scale_factor']
+            bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
+            bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
+            results['gt_bboxes'] = bb
+        return results
+
+
 class Compose:
     def __init__(self, transforms: Sequence):
         self.transforms = []

@@ -94,6 +94,8 @@ class Bottleneck(nn.Module):
     groups: int = 1          # >1 + base_width: ResNeXt cardinality
     base_width: int = 64
     avg_down: bool = False
+    with_dcn: bool = False   # DCNv2 on the 3x3 (teacher backbones)
+    dcn_deform_groups: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -109,12 +111,20 @@ class Bottleneck(nn.Module):
                         dtype=self.dtype)(out, train)
         out = nn.relu(out)
         # 'pytorch' style: spatial stride on the (possibly grouped) 3x3
-        out = nn.Conv(width, (3, 3),
-                      strides=(self.stride, self.stride),
-                      padding=[(self.dilation, self.dilation)] * 2,
-                      kernel_dilation=(self.dilation, self.dilation),
-                      feature_group_count=self.groups,
-                      use_bias=False, name='conv2', dtype=self.dtype)(out)
+        if self.with_dcn:
+            from ld_tpu.ops.deform_conv import ModulatedDeformConv
+            out = ModulatedDeformConv(
+                width, kernel_size=3, stride=self.stride,
+                dilation=self.dilation,
+                deform_groups=self.dcn_deform_groups,
+                dtype=self.dtype, name='conv2')(out)
+        else:
+            out = nn.Conv(width, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=[(self.dilation, self.dilation)] * 2,
+                          kernel_dilation=(self.dilation, self.dilation),
+                          feature_group_count=self.groups,
+                          use_bias=False, name='conv2', dtype=self.dtype)(out)
         out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
                         dtype=self.dtype)(out, train)
         out = nn.relu(out)
@@ -154,6 +164,8 @@ class ResNet(nn.Module):
     avg_down: bool = False
     groups: int = 1             # ResNeXt cardinality
     base_width: int = 64
+    dcn: dict = None            # e.g. dict(type='DCNv2', deform_groups=1)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -199,6 +211,11 @@ class ResNet(nn.Module):
                     kwargs['dilation'] = dilation
                     kwargs['groups'] = self.groups
                     kwargs['base_width'] = self.base_width
+                    if self.dcn is not None and \
+                            self.stage_with_dcn[stage]:
+                        kwargs['with_dcn'] = True
+                        kwargs['dcn_deform_groups'] = self.dcn.get(
+                            'deform_groups', 1)
                 x = block_cls(**kwargs)(x, train)
             in_planes = planes * getattr(block_cls, 'expansion', 1)
             if stage + 1 <= self.frozen_stages:

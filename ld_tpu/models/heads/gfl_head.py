@@ -86,7 +86,7 @@ class GFLHeadNet(nn.Module):
                 cls_feat = conv(cls_feat)
             for conv in self.reg_convs:
                 reg_feat = conv(reg_feat)
-            cls_scores.append(self.gfl_cls(cls_feat))
+            cls_scores.append(self.gfl_cls(cls_feat).astype(jnp.float32))
             bbox_preds.append(
                 (self.gfl_reg(reg_feat) * self.scales[lvl]).astype(
                     jnp.float32))

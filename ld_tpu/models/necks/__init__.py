@@ -1,3 +1,3 @@
-from .fpn import FPN, ChannelMapper
+from .fpn import FPN, PAFPN, ChannelMapper
 
-__all__ = ['FPN', 'ChannelMapper']
+__all__ = ["FPN", "PAFPN", "ChannelMapper"]

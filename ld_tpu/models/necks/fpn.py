@@ -102,6 +102,64 @@ class FPN(nn.Module):
 
 
 @NECKS.register_module()
+class PAFPN(FPN):
+    """Path-Aggregation FPN: FPN + an extra bottom-up path.
+
+    Parity: /root/reference/mmdet/models/necks/pafpn.py.
+    """
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == len(self.in_channels)
+        end = len(self.in_channels) if self.end_level in (-1, None) \
+            else self.end_level
+        used = list(range(self.start_level, end))
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}',
+                    dtype=self.dtype)(inputs[lvl])
+            for i, lvl in enumerate(used)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            h, w = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_to(
+                laterals[i], h, w)
+        inter = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                    name=f'fpn_conv_{i}', dtype=self.dtype)(laterals[i])
+            for i in range(len(laterals))
+        ]
+        # bottom-up augmentation
+        for i in range(len(inter) - 1):
+            inter[i + 1] = inter[i + 1] + nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1)] * 2, name=f'downsample_conv_{i}',
+                dtype=self.dtype)(inter[i])
+        outs = [inter[0]] + [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                    name=f'pafpn_conv_{i}', dtype=self.dtype)(inter[i])
+            for i in range(1, len(inter))
+        ]
+        if self.num_outs > len(outs):
+            mode = self._extra_convs_mode()
+            if not mode:
+                for _ in range(self.num_outs - len(outs)):
+                    outs.append(nn.max_pool(outs[-1], (1, 1),
+                                            strides=(2, 2)))
+            else:
+                extra = inputs[used[-1]] if mode == 'on_input' else outs[-1]
+                for j in range(self.num_outs - len(outs)):
+                    if j > 0 and self.relu_before_extra_convs:
+                        extra = nn.relu(extra)
+                    extra = nn.Conv(self.out_channels, (3, 3),
+                                    strides=(2, 2), padding=[(1, 1)] * 2,
+                                    name=f'fpn_extra_{j}',
+                                    dtype=self.dtype)(extra)
+                    outs.append(extra)
+        return tuple(outs)
+
+
+@NECKS.register_module()
 class ChannelMapper(nn.Module):
     """1x1 convs mapping each input level to a common channel count.
 

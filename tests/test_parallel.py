@@ -1,0 +1,93 @@
+"""SPMD correctness: the 8-device data-parallel step must match 1-device.
+
+This is the TPU equivalent of validating the reference's DDP + reduce_mean
+wiring (dist_utils.py:63) — which the reference never tests (SURVEY.md §4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ld_tpu
+from ld_tpu.models import build_detector
+from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
+                             create_train_state, jit_train_step,
+                             make_train_step, shard_batch, frozen_mask)
+
+
+def _cfg():
+    return dict(
+        type='GFL',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(type='GFLHead', num_classes=4, in_channels=32,
+                       stacked_convs=1, feat_channels=32, reg_max=16),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=10))
+
+
+def _batch(b=8):
+    rs = np.random.RandomState(0)
+    gt = np.zeros((b, 4, 4), np.float32)
+    gt[:, 0] = [4, 4, 40, 48]
+    gt[:, 1] = [16, 12, 56, 60]
+    valid = np.zeros((b, 4), bool)
+    valid[:, :2] = True
+    return {
+        'image': rs.randn(b, 64, 96, 3).astype(np.float32),
+        'gt_bboxes': gt,
+        'gt_labels': np.zeros((b, 4), np.int32),
+        'gt_valid': valid,
+        'img_hw': np.tile([[64., 96.]], (b, 1)).astype(np.float32),
+    }
+
+
+def _run_steps(n_devices, n_steps=3):
+    det = build_detector(_cfg())
+    mesh = create_mesh(('data', ), devices=jax.devices()[:n_devices])
+    schedule = build_lr_schedule(0.01, dict(warmup_iters=2, step=[100]),
+                                 2, 10)
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    optimizer = build_optimizer(
+        dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=1e-4),
+        schedule, variables['params'],
+        frozen_prefixes=det.frozen_param_paths())
+    state = create_train_state(det, jax.random.PRNGKey(0), optimizer,
+                               (1, 64, 96, 3))
+    step = jit_train_step(make_train_step(det, optimizer), mesh)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, shard_batch(_batch(), mesh))
+        losses.append(float(metrics['loss']))
+    return losses, state
+
+
+def test_dp8_matches_dp1():
+    assert len(jax.devices()) >= 8, 'conftest must force 8 CPU devices'
+    l1, s1 = _run_steps(1)
+    l8, s8 = _run_steps(8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=2e-5)
+    # final params agree across the two worlds (compare on host: the arrays
+    # live on different device sets)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s1.params)]
+    p8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s8.params)]
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(p1, p8))
+    assert worst < 1e-4, worst
+
+
+def test_frozen_mask_paths():
+    det = build_detector(_cfg())
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    mask = frozen_mask(variables['params'], det.frozen_param_paths())
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    frozen = {('/'.join(str(getattr(p, 'key', p)) for p in kp))
+              for kp, v in flat if not v}
+    assert any('layer1_0' in f for f in frozen)
+    assert any('conv1' in f for f in frozen)
+    assert not any('layer2' in f for f in frozen)
+    assert not any('head_net' in f for f in frozen)
