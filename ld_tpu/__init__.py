@@ -15,6 +15,7 @@ from ld_tpu.utils.config import Config
 # importing the subpackages populates the registries
 import ld_tpu.ops  # noqa: F401,E402
 import ld_tpu.models  # noqa: F401,E402
+import ld_tpu.data  # noqa: F401,E402
 
 __all__ = ['BACKBONES', 'DETECTORS', 'HEADS', 'LOSSES', 'NECKS', 'ASSIGNERS',
            'DATASETS', 'Config', '__version__']

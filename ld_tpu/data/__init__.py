@@ -4,6 +4,10 @@ from .transforms import (Compose, collate_batch, LoadImageFromFile,
 from .coco import CocoDataset, SyntheticDetectionDataset, COCO_CLASSES
 from .loader import DataLoader, GroupBatchSampler, build_dataloader
 from .voc import VOCDataset
+from .dataset_wrappers import (ConcatDataset, RepeatDataset,
+                               ClassBalancedDataset)
+from .transforms import (FusedPreprocess, RandomCrop, Expand,
+                         MinIoURandomCrop, CutOut)
 
 from ld_tpu.utils.registry import DATASETS
 
@@ -17,5 +21,7 @@ __all__ = [
     'Resize', 'RandomFlip', 'Normalize', 'Pad', 'Collect',
     'PhotoMetricDistortion', 'CocoDataset', 'SyntheticDetectionDataset',
     'COCO_CLASSES', 'DataLoader', 'GroupBatchSampler', 'build_dataloader',
-    'build_dataset', 'VOCDataset'
+    'build_dataset', 'VOCDataset', 'ConcatDataset', 'RepeatDataset',
+    'ClassBalancedDataset', 'FusedPreprocess', 'RandomCrop', 'Expand',
+    'MinIoURandomCrop', 'CutOut'
 ]

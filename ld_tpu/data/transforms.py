@@ -223,6 +223,161 @@ class Collect:
 
 
 @PIPELINES.register_module()
+class RandomCrop:
+    """Random crop with box filtering.
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:588."""
+
+    def __init__(self, crop_size, allow_negative_crop=False):
+        self.crop_size = crop_size  # (h, w)
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        ch = min(self.crop_size[0], h)
+        cw = min(self.crop_size[1], w)
+        y0 = np.random.randint(0, h - ch + 1)
+        x0 = np.random.randint(0, w - cw + 1)
+        results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+        results['img_shape'] = results['img'].shape
+        if 'gt_bboxes' in results:
+            bb = results['gt_bboxes'] - np.asarray(
+                [x0, y0, x0, y0], np.float32)
+            bb[:, 0::2] = bb[:, 0::2].clip(0, cw)
+            bb[:, 1::2] = bb[:, 1::2].clip(0, ch)
+            keep = (bb[:, 2] > bb[:, 0]) & (bb[:, 3] > bb[:, 1])
+            if not keep.any() and not self.allow_negative_crop:
+                return None
+            results['gt_bboxes'] = bb[keep]
+            if 'gt_labels' in results:
+                results['gt_labels'] = results['gt_labels'][keep]
+        return results
+
+
+@PIPELINES.register_module()
+class Expand:
+    """Place the image on a larger mean-filled canvas (SSD aug).
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:916."""
+
+    def __init__(self, mean=(0, 0, 0), to_rgb=True, ratio_range=(1, 4),
+                 prob=0.5):
+        self.mean = np.asarray(mean)
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, results):
+        if np.random.rand() > self.prob:
+            return results
+        img = results['img']
+        h, w, c = img.shape
+        ratio = np.random.uniform(*self.ratio_range)
+        nh, nw = int(h * ratio), int(w * ratio)
+        canvas = np.full((nh, nw, c), self.mean,
+                         img.dtype) if img.dtype != np.uint8 else \
+            np.full((nh, nw, c), self.mean.astype(np.uint8), np.uint8)
+        y0 = np.random.randint(0, nh - h + 1)
+        x0 = np.random.randint(0, nw - w + 1)
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape
+        if 'gt_bboxes' in results:
+            results['gt_bboxes'] = results['gt_bboxes'] + np.asarray(
+                [x0, y0, x0, y0], np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """Crop keeping boxes above a sampled min-IoU with the crop (SSD aug).
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:1008."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3,
+                 max_attempts=50):
+        self.sample_modes = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.max_attempts = max_attempts
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        while True:
+            mode = self.sample_modes[np.random.randint(
+                len(self.sample_modes))]
+            if mode == 1:
+                return results
+            for _ in range(self.max_attempts):
+                cw = np.random.uniform(self.min_crop_size * w, w)
+                ch = np.random.uniform(self.min_crop_size * h, h)
+                if ch / cw < 0.5 or ch / cw > 2:
+                    continue
+                x0 = np.random.uniform(0, w - cw)
+                y0 = np.random.uniform(0, h - ch)
+                patch = np.asarray([x0, y0, x0 + cw, y0 + ch])
+                if len(boxes):
+                    lt = np.maximum(boxes[:, :2], patch[:2])
+                    rb = np.minimum(boxes[:, 2:], patch[2:])
+                    inter = np.clip(rb - lt, 0, None).prod(1)
+                    area = (boxes[:, 2] - boxes[:, 0]) * \
+                        (boxes[:, 3] - boxes[:, 1])
+                    ious = inter / np.maximum(area, 1e-6)
+                    if ious.min() < mode:
+                        continue
+                    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+                    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+                    keep = (cx > patch[0]) & (cx < patch[2]) & \
+                        (cy > patch[1]) & (cy < patch[3])
+                    if not keep.any():
+                        continue
+                    bb = boxes[keep].copy()
+                    bb[:, 0::2] = bb[:, 0::2].clip(patch[0], patch[2])
+                    bb[:, 1::2] = bb[:, 1::2].clip(patch[1], patch[3])
+                    bb -= np.asarray([patch[0], patch[1], patch[0],
+                                      patch[1]], np.float32)
+                    results['gt_bboxes'] = bb.astype(np.float32)
+                    if 'gt_labels' in results:
+                        results['gt_labels'] = results['gt_labels'][keep]
+                results['img'] = img[int(patch[1]):int(patch[3]),
+                                     int(patch[0]):int(patch[2])]
+                results['img_shape'] = results['img'].shape
+                return results
+
+
+@PIPELINES.register_module()
+class CutOut:
+    """Random rectangular dropout.
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:1741."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        self.n_holes = n_holes if isinstance(n_holes, tuple) else \
+            (n_holes, n_holes)
+        self.cutout_shape = cutout_shape
+        self.cutout_ratio = cutout_ratio
+        self.fill_in = fill_in
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        n = np.random.randint(self.n_holes[0], self.n_holes[1] + 1)
+        for _ in range(n):
+            if self.cutout_ratio is not None:
+                ch = int(h * self.cutout_ratio[0])
+                cw = int(w * self.cutout_ratio[1])
+            else:
+                ch, cw = self.cutout_shape
+            y0 = np.random.randint(0, h)
+            x0 = np.random.randint(0, w)
+            img[y0:y0 + ch, x0:x0 + cw] = self.fill_in
+        results['img'] = img
+        return results
+
+
+@PIPELINES.register_module()
 class FusedPreprocess:
     """Resize(keep_ratio) + BGR->RGB + Normalize + Pad in ONE native pass
     (ld_tpu/native/image_prep.cpp), falling back to the separate transforms.

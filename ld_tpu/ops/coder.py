@@ -86,3 +86,44 @@ class PseudoBBoxCoder:
 
     def decode(self, bboxes, pred, max_shape=None):
         return pred
+
+
+@register_coder
+class TBLRBBoxCoder:
+    """Top-Bottom-Left-Right coder (FSAF). Parity:
+    /root/reference/mmdet/core/bbox/coder/tblr_bbox_coder.py."""
+
+    def __init__(self, normalizer=4.0, clip_border=True):
+        self.normalizer = normalizer
+        self.clip_border = clip_border
+
+    def encode(self, bboxes, gt_bboxes):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = jnp.maximum(bboxes[..., 2] - bboxes[..., 0], 1e-6)
+        h = jnp.maximum(bboxes[..., 3] - bboxes[..., 1], 1e-6)
+        t = (py - gt_bboxes[..., 1]) / (h * self.normalizer)
+        b = (gt_bboxes[..., 3] - py) / (h * self.normalizer)
+        l = (px - gt_bboxes[..., 0]) / (w * self.normalizer)
+        r = (gt_bboxes[..., 2] - px) / (w * self.normalizer)
+        return jnp.stack([t, b, l, r], axis=-1)
+
+    def decode(self, bboxes, deltas, max_shape=None):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        t, b, l, r = (deltas[..., 0], deltas[..., 1], deltas[..., 2],
+                      deltas[..., 3])
+        x1 = px - l * w * self.normalizer
+        x2 = px + r * w * self.normalizer
+        y1 = py - t * h * self.normalizer
+        y2 = py + b * h * self.normalizer
+        out = jnp.stack([x1, y1, x2, y2], axis=-1)
+        if max_shape is not None and self.clip_border:
+            hh, ww = max_shape[..., 0], max_shape[..., 1]
+            out = jnp.stack([
+                jnp.clip(out[..., 0], 0, ww), jnp.clip(out[..., 1], 0, hh),
+                jnp.clip(out[..., 2], 0, ww), jnp.clip(out[..., 3], 0, hh)
+            ], axis=-1)
+        return out
