@@ -73,7 +73,7 @@ class CocoDataset:
         for img in coco['images']:
             info = dict(id=img['id'], filename=img['file_name'],
                         width=img['width'], height=img['height'])
-            bboxes, labels, ignore = [], [], []
+            bboxes, labels, ignore, polys = [], [], [], []
             for a in anns_by_img.get(img['id'], []):
                 if a.get('ignore', False):
                     continue
@@ -90,10 +90,13 @@ class CocoDataset:
                 else:
                     bboxes.append(box)
                     labels.append(self.cat_id_to_label[a['category_id']])
+                    seg = a.get('segmentation')
+                    polys.append(seg if isinstance(seg, list) else None)
             ann = dict(
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int64),
-                bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4))
+                bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+                masks=polys)
             self.img_infos.append(info)
             self.annotations.append(ann)
 
@@ -191,9 +194,16 @@ class SyntheticDetectionDataset:
             wh = rng.uniform([8, 8], [hw[1] * 0.4, hw[0] * 0.4], (n, 2))
             bboxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
             labels = rng.randint(0, num_classes, n)
+            masks = []
+            for bb in bboxes:
+                m = np.zeros(hw, np.uint8)
+                x1, y1, x2, y2 = bb.astype(int)
+                m[y1:y2, x1:x2] = 1
+                masks.append(m)
             self.annotations.append(dict(
                 bboxes=bboxes, labels=labels,
-                bboxes_ignore=np.zeros((0, 4), np.float32)))
+                bboxes_ignore=np.zeros((0, 4), np.float32),
+                masks=masks))
             self._images.append(
                 rng.randint(0, 255, (hw[0], hw[1], 3)).astype(np.uint8))
         self.flag = np.zeros(num_images, np.uint8)
@@ -217,6 +227,8 @@ class SyntheticDetectionDataset:
         results['ann_info'] = self.annotations[idx]
         results['gt_bboxes'] = self.annotations[idx]['bboxes'].copy()
         results['gt_labels'] = self.annotations[idx]['labels'].copy()
+        results['gt_masks'] = [m.copy() for m in
+                               self.annotations[idx]['masks']]
         return self.pipeline(results)
 
     def evaluate(self, det_results, metric='bbox', **kwargs):

@@ -50,9 +50,11 @@ class LoadImageFromFile:
 
 @PIPELINES.register_module()
 class LoadAnnotations:
-    def __init__(self, with_bbox=True, with_label=True, **kwargs):
+    def __init__(self, with_bbox=True, with_label=True, with_mask=False,
+                 **kwargs):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
 
     def __call__(self, results: Dict) -> Dict:
         ann = results['ann_info']
@@ -60,6 +62,28 @@ class LoadAnnotations:
             results['gt_bboxes'] = ann['bboxes'].astype(np.float32)
         if self.with_label:
             results['gt_labels'] = ann['labels'].astype(np.int64)
+        if self.with_mask and 'masks' in ann:
+            # rasterize COCO polygons to full-res bitmaps (host side;
+            # parity: mmdet PolygonMasks -> BitmapMasks via mmcv)
+            h = results['img_info'].get('height',
+                                        results.get('img_shape',
+                                                    (0, 0))[0])
+            w = results['img_info'].get('width',
+                                        results.get('img_shape',
+                                                    (0, 0))[1])
+            masks = []
+            for polys, box in zip(ann['masks'], ann['bboxes']):
+                m = np.zeros((h, w), np.uint8)
+                if polys:
+                    pts = [np.asarray(p, np.float32).reshape(-1, 2)
+                           .astype(np.int32) for p in polys if len(p) >= 6]
+                    if pts:
+                        cv2.fillPoly(m, pts, 1)
+                else:  # fall back to the box region
+                    x1, y1, x2, y2 = box.astype(int)
+                    m[y1:y2, x1:x2] = 1
+                masks.append(m)
+            results['gt_masks'] = masks
         return results
 
 
@@ -104,6 +128,12 @@ class Resize:
             bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
             bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
             results['gt_bboxes'] = bb
+        if 'gt_masks' in results:
+            results['gt_masks'] = [
+                cv2.resize(m, (new_w, new_h),
+                           interpolation=cv2.INTER_NEAREST)
+                for m in results['gt_masks']
+            ]
         return results
 
 
@@ -126,6 +156,9 @@ class RandomFlip:
             bb[:, 0] = w - results['gt_bboxes'][:, 2]
             bb[:, 2] = w - results['gt_bboxes'][:, 0]
             results['gt_bboxes'] = bb
+        if 'gt_masks' in results:
+            results['gt_masks'] = [np.ascontiguousarray(m[:, ::-1])
+                                   for m in results['gt_masks']]
         return results
 
 
@@ -213,6 +246,8 @@ class Collect:
 
     def __call__(self, results: Dict) -> Dict:
         out = {k: results[k] for k in self.keys if k in results}
+        if 'gt_masks' in results and 'gt_masks' in self.keys:
+            out['gt_masks'] = results['gt_masks']
         out['img_shape'] = results.get('img_shape')
         out['ori_shape'] = results.get('ori_shape')
         out['pad_shape'] = results.get('pad_shape', results.get('img_shape'))
@@ -435,6 +470,12 @@ class FusedPreprocess:
             bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
             bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
             results['gt_bboxes'] = bb
+        if 'gt_masks' in results:
+            results['gt_masks'] = [
+                cv2.resize(m, (new_w, new_h),
+                           interpolation=cv2.INTER_NEAREST)
+                for m in results['gt_masks']
+            ]
         return results
 
 
@@ -456,7 +497,8 @@ class Compose:
 
 
 def collate_batch(samples: List[Dict], pad_hw: Tuple[int, int],
-                  max_gts: int = 100) -> Dict[str, np.ndarray]:
+                  max_gts: int = 100,
+                  mask_stride: int = 4) -> Dict[str, np.ndarray]:
     """Stack per-image dicts into one static-shape batch.
 
     Images are zero-padded to `pad_hw`; GT boxes/labels padded to `max_gts`
@@ -485,6 +527,20 @@ def collate_batch(samples: List[Dict], pad_hw: Tuple[int, int],
             gt_bboxes[i, :n] = s['gt_bboxes'][:n]
             gt_labels[i, :n] = s['gt_labels'][:n]
             gt_valid[i, :n] = True
-    return dict(image=images, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
-                gt_valid=gt_valid, img_hw=img_hw, scale_factor=scale_factor,
-                img_ids=img_ids)
+    out = dict(image=images, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+               gt_valid=gt_valid, img_hw=img_hw, scale_factor=scale_factor,
+               img_ids=img_ids)
+    if any('gt_masks' in s for s in samples):
+        # masks ride at 1/mask_stride resolution (Mask R-CNN branch; crops
+        # per sampled roi happen on device via roi_align)
+        mh, mw = th // mask_stride, tw // mask_stride
+        gt_masks = np.zeros((b, max_gts, mh, mw), np.float32)
+        for i, s in enumerate(samples):
+            for g, m in enumerate(s.get('gt_masks', [])[:max_gts]):
+                # place the mask in the padded frame, then downsample
+                canvas = np.zeros((th, tw), np.uint8)
+                canvas[:m.shape[0], :m.shape[1]] = m
+                gt_masks[i, g] = cv2.resize(
+                    canvas, (mw, mh), interpolation=cv2.INTER_NEAREST)
+        out['gt_masks'] = gt_masks
+    return out

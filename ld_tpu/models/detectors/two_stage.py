@@ -64,14 +64,20 @@ class TwoStageDetector:
     def init_variables(self, rng, input_shape=(1, 64, 64, 3)) -> Dict:
         r1, r2 = jax.random.split(rng)
         backbone_vars = self.net.init(r1, jnp.zeros(input_shape))
-        # ROI net params initialized with a dummy roi batch
+        # ROI nets initialized with dummy roi batches
         c = 256
+        r2, r3 = jax.random.split(r2)
         roi_vars = self.roi_head.net.init(
             r2, jnp.zeros((1, self.roi_head.roi_size,
                            self.roi_head.roi_size, c)))
         variables = dict(backbone_vars)
         variables['params'] = dict(variables['params'])
-        variables['params']['roi_head'] = roi_vars['params']
+        variables['params']['roi_head'] = dict(bbox=roi_vars['params'])
+        if self.roi_head.mask_head is not None:
+            mask_vars = self.roi_head.mask_head.net.init(
+                r3, jnp.zeros((1, self.roi_head.mask_roi_size,
+                               self.roi_head.mask_roi_size, c)))
+            variables['params']['roi_head']['mask'] = mask_vars['params']
         return variables
 
     def frozen_param_paths(self):

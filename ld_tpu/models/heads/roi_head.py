@@ -54,6 +54,7 @@ class Shared2FCBBoxHeadNet(nn.Module):
 class StandardRoIHead:
 
     def __init__(self, bbox_roi_extractor=None, bbox_head=None,
+                 mask_roi_extractor=None, mask_head=None,
                  train_cfg=None, test_cfg=None, dtype=jnp.float32, **kwargs):
         bbox_head = dict(bbox_head or {})
         self.num_classes = bbox_head.get('num_classes', 80)
@@ -87,6 +88,18 @@ class StandardRoIHead:
             in_channels=bbox_head.get('in_channels', 256),
             fc_dim=bbox_head.get('fc_out_channels', 1024),
             reg_class_agnostic=self.reg_class_agnostic, dtype=dtype)
+        # optional mask branch (Mask R-CNN)
+        self.mask_head = None
+        if mask_head is not None:
+            from .mask_head import FCNMaskHead
+            mh = dict(mask_head)
+            mh.pop('type', None)
+            mh.setdefault('num_classes', self.num_classes)
+            mext = dict(mask_roi_extractor or {})
+            self.mask_roi_size = mext.get('roi_layer',
+                                          {}).get('output_size', 14)
+            mh.setdefault('roi_size', self.mask_roi_size)
+            self.mask_head = FCNMaskHead(dtype=dtype, **mh)
 
     # ---- training -------------------------------------------------------------
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
@@ -123,14 +136,22 @@ class StandardRoIHead:
         safe = jnp.clip(res.assigned_gt_inds, 0)[order]
         labels = jnp.where(roi_pos, res.labels[order], self.num_classes)
         deltas = self.coder.encode(rois, gt_bboxes[safe])
-        return rois, roi_valid, roi_pos, labels, deltas
+        return rois, roi_valid, roi_pos, labels, deltas, safe
+
+    def _bbox_vars(self, variables):
+        p = variables['params']
+        return {'params': p['bbox'] if 'bbox' in p else p}
+
+    def _mask_vars(self, variables):
+        return {'params': variables['params']['mask']}
 
     def forward_train(self, variables, feats, proposals, prop_valid, batch,
                       rng) -> Dict[str, jnp.ndarray]:
-        """feats: list of (B, H, W, C); proposals (B, P, 4)."""
+        """feats: list of (B, H, W, C); proposals (B, P, 4);
+        variables: {'params': {'bbox': ..., 'mask': ...}} (mask optional)."""
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        rois, roi_valid, roi_pos, labels, deltas = jax.vmap(
+        (rois, roi_valid, roi_pos, labels, deltas, roi_gt_inds) = jax.vmap(
             self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'], rngs)
 
@@ -142,8 +163,9 @@ class StandardRoIHead:
         roi_feats = jax.vmap(extract)(
             [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
         cls, reg = self.net.apply(
-            variables, roi_feats.reshape(-1, self.roi_size, self.roi_size,
-                                         roi_feats.shape[-1]))
+            self._bbox_vars(variables),
+            roi_feats.reshape(-1, self.roi_size, self.roi_size,
+                              roi_feats.shape[-1]))
         labels_f = labels.reshape(-1)
         validf = roi_valid.reshape(-1).astype(jnp.float32)
         posf = roi_pos.reshape(-1).astype(jnp.float32)
@@ -161,19 +183,37 @@ class StandardRoIHead:
             reg_sel, deltas.reshape(-1, 4),
             weight=jnp.repeat(posf[:, None], 4, 1),
             avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
-        acc_mask = validf > 0
-        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+        losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+        if self.mask_head is not None and 'gt_masks' in batch:
+            mask_vars = self._mask_vars(variables)
+            def mask_extract(img_feats, img_rois, img_valid):
+                return multi_level_roi_align(
+                    img_feats, img_rois, img_valid, self.mask_roi_size,
+                    self.featmap_strides)
+            mask_feats = jax.vmap(mask_extract)(
+                [f for f in feats[:len(self.featmap_strides)]], rois,
+                roi_valid & roi_pos)
+            def one_img(mf, r, rp, rl, rgi, gm):
+                return self.mask_head.loss(mask_vars, mf, r, rp, rl, rgi,
+                                           gm)
+            loss_mask = jax.vmap(one_img)(
+                mask_feats, rois, roi_pos, labels, roi_gt_inds,
+                batch['gt_masks'])
+            losses['loss_mask'] = loss_mask.mean()
+        return losses
 
     # ---- inference ------------------------------------------------------------
     def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
                     scale_factor=None, rescale=False, cfg=None):
         cfg = cfg or self.test_cfg
 
+        bbox_vars = self._bbox_vars(variables)
+
         def per_image(img_feats, img_rois, img_valid, hw, sf):
             roi_feats = multi_level_roi_align(
                 img_feats, img_rois, img_valid, self.roi_size,
                 self.featmap_strides)
-            cls, reg = self.net.apply(variables, roi_feats)
+            cls, reg = self.net.apply(bbox_vars, roi_feats)
             scores = jax.nn.softmax(cls, axis=-1)[:, :self.num_classes]
             scores = scores * img_valid[:, None]
             if self.reg_class_agnostic:
