@@ -90,3 +90,17 @@ def show_result(img: Union[str, np.ndarray], result: Dict, class_names=None,
     if out_file:
         cv2.imwrite(out_file, img)
     return img
+
+
+async def async_inference_detector(detector, variables, img, **kwargs):
+    """Async wrapper for concurrent-request serving.
+
+    Parity: /root/reference/mmdet/apis/inference.py:149
+    (async_inference_detector) — device execution is already asynchronous in
+    JAX; this offloads the host-side pre/post-processing to the default
+    executor so callers can pipeline requests.
+    """
+    import asyncio
+    loop = asyncio.get_event_loop()
+    return await loop.run_in_executor(
+        None, lambda: inference_detector(detector, variables, img, **kwargs))

@@ -9,6 +9,7 @@ from .dataset_wrappers import (ConcatDataset, RepeatDataset,
 from .transforms import (FusedPreprocess, RandomCrop, Expand,
                          MinIoURandomCrop, CutOut)
 
+from . import corruptions  # noqa: F401 — registers Corrupt
 from ld_tpu.utils.registry import DATASETS
 
 

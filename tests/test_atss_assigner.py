@@ -172,3 +172,12 @@ def test_atss_batch_vmap():
     for i in range(1, B):
         np.testing.assert_array_equal(np.asarray(res.labels[0]),
                                       np.asarray(res.labels[i]))
+
+
+def test_small_topk_matches_lax():
+    from ld_tpu.ops.atss_assigner import _small_topk_min
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(13, 200).astype(np.float32))
+    got = np.asarray(_small_topk_min(v, 9))
+    _, want = jax.lax.top_k(-v, 9)
+    np.testing.assert_array_equal(got, np.asarray(want))
