@@ -4,9 +4,11 @@ from .anchors import AnchorGenerator, PointGenerator
 from .integral import integral
 from .atss_assigner import ATSSAssigner, AssignResult
 from .max_iou_assigner import MaxIoUAssigner
+from .extra_assigners import HungarianAssigner, PointAssigner
 
 __all__ = [
     'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
     'bbox_flip', 'AnchorGenerator', 'PointGenerator', 'integral',
-    'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner'
+    'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner', 'HungarianAssigner',
+    'PointAssigner'
 ]

@@ -1,0 +1,113 @@
+"""Additional assigners from the inherited stack.
+
+Parity targets in /root/reference/mmdet/core/bbox/assigners/:
+  * HungarianAssigner (DETR set matching; hungarian_assigner.py) — cost =
+    cls + L1(normalized boxes) + IoU cost; the assignment itself runs on
+    host via scipy (it is O(n^3) sequential — not a TPU-shaped computation;
+    the reference also runs it on CPU via scipy).
+  * PointAssigner (point_assigner.py, RepPoints) — each gt claims the
+    nearest points on its scale level.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_tpu.utils.registry import ASSIGNERS
+from .atss_assigner import AssignResult, INF
+from .boxes import bbox_overlaps
+
+
+@ASSIGNERS.register_module()
+class HungarianAssigner:
+
+    def __init__(self, cls_cost_weight=1.0, reg_cost_weight=5.0,
+                 iou_cost_weight=2.0, **kwargs):
+        self.cls_w = cls_cost_weight
+        self.reg_w = reg_cost_weight
+        self.iou_w = iou_cost_weight
+
+    def assign(self, pred_boxes, pred_logits, gt_bboxes, gt_labels,
+               gt_valid, img_hw, num_classes=80) -> AssignResult:
+        """One-to-one matching for ONE image (host-side scipy LAP on the
+        jnp-computed cost matrix; call outside jit).
+
+        pred_boxes: (Q, 4) xyxy absolute; pred_logits: (Q, C).
+        """
+        from scipy.optimize import linear_sum_assignment
+        q = pred_boxes.shape[0]
+        g = gt_bboxes.shape[0]
+        probs = jax.nn.softmax(pred_logits, axis=-1)
+        cls_cost = -probs[:, jnp.clip(gt_labels, 0, num_classes - 1)]
+        scale = jnp.asarray([img_hw[1], img_hw[0], img_hw[1], img_hw[0]])
+        reg_cost = jnp.abs((pred_boxes / scale)[:, None, :] -
+                           (gt_bboxes / scale)[None, :, :]).sum(-1)
+        iou_cost = -bbox_overlaps(pred_boxes, gt_bboxes, mode='giou')
+        cost = (self.cls_w * cls_cost + self.reg_w * reg_cost +
+                self.iou_w * iou_cost)
+        cost = np.asarray(jnp.where(gt_valid[None, :], cost, 1e6))
+        rows, cols = linear_sum_assignment(cost)
+        assigned = np.full(q, -1, np.int32)
+        valid_np = np.asarray(gt_valid)
+        for r, c in zip(rows, cols):
+            if valid_np[c]:
+                assigned[r] = c
+        pos = assigned >= 0
+        labels = np.where(pos, np.asarray(gt_labels)[np.maximum(assigned, 0)],
+                          num_classes)
+        ious = np.asarray(bbox_overlaps(pred_boxes, gt_bboxes))
+        max_overlaps = np.where(pos, ious[np.arange(q),
+                                          np.maximum(assigned, 0)], 0.0)
+        return AssignResult(
+            assigned_gt_inds=jnp.asarray(assigned),
+            max_overlaps=jnp.asarray(max_overlaps.astype(np.float32)),
+            labels=jnp.asarray(labels.astype(np.int32)),
+            pos_mask=jnp.asarray(pos))
+
+
+@ASSIGNERS.register_module()
+class PointAssigner:
+    """Each gt claims the `pos_num` nearest points whose level matches the
+    gt scale (RepPoints)."""
+
+    def __init__(self, scale=4, pos_num=3, **kwargs):
+        self.scale = scale
+        self.pos_num = pos_num
+
+    def assign(self, points, num_level_points, gt_bboxes, gt_labels,
+               gt_valid, valid_mask=None, num_classes=80) -> AssignResult:
+        """points: (N, 3) = (x, y, stride)."""
+        n = points.shape[0]
+        g = gt_bboxes.shape[0]
+        xy = points[:, :2]
+        stride = points[:, 2]
+        lvl = jnp.log2(stride).astype(jnp.int32)
+        gw = jnp.maximum(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
+        gh = jnp.maximum(gt_bboxes[:, 3] - gt_bboxes[:, 1], 1e-6)
+        gt_lvl = jnp.clip(
+            (jnp.log2(jnp.sqrt(gw * gh) / self.scale) + 0.5).astype(
+                jnp.int32), lvl.min(), lvl.max())
+        gc = jnp.stack([(gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2,
+                        (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2], -1)
+        dist = jnp.linalg.norm(
+            (xy[:, None, :] - gc[None, :, :]) / stride[:, None, None],
+            axis=-1)
+        same_lvl = lvl[:, None] == gt_lvl[None, :]
+        dist = jnp.where(same_lvl & gt_valid[None, :], dist, INF)
+        # per gt: pos_num nearest points
+        from .atss_assigner import _small_topk_min
+        idx = _small_topk_min(dist.T, min(self.pos_num, n))     # (G, k)
+        claimed = jnp.zeros((n, g), bool).at[
+            idx.reshape(-1),
+            jnp.repeat(jnp.arange(g), idx.shape[1])].set(True)
+        claimed = claimed & (dist < INF / 2)
+        d_masked = jnp.where(claimed, dist, INF)
+        best = d_masked.argmin(axis=1)
+        pos = d_masked.min(axis=1) < INF / 2
+        labels = jnp.where(pos, gt_labels[best], num_classes)
+        return AssignResult(
+            assigned_gt_inds=jnp.where(pos, best, -1).astype(jnp.int32),
+            max_overlaps=jnp.where(pos, 1.0, 0.0),
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos)

@@ -211,6 +211,29 @@ def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
     return _finalize(keep, top_scores, voted, class_idx, max_per_img)
 
 
+def fast_nms(boxes, scores, labels, iou_threshold=0.5, max_out=100,
+             valid=None):
+    """YOLACT Fast NMS: single-pass matrix suppression (a box is dropped if
+    ANY higher-scored same-class box overlaps it, kept or not).
+
+    Parity: /root/reference/mmdet/core/post_processing/bbox_nms.py:195.
+    Slightly over-suppresses vs greedy NMS but is one matmul-free pass.
+    """
+    n = boxes.shape[0]
+    order_scores, order = jax.lax.top_k(scores, n)
+    sboxes = boxes[order]
+    slabels = labels[order]
+    v = jnp.ones((n, ), bool) if valid is None else valid[order]
+    iou = bbox_overlaps(sboxes, sboxes)
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    same = slabels[:, None] == slabels[None, :]
+    suppressed = ((iou > iou_threshold) & tri & same).any(axis=0)
+    keep = v & ~suppressed
+    kept_scores = jnp.where(keep, order_scores, -jnp.inf)
+    top, pos = jax.lax.top_k(kept_scores, min(max_out, n))
+    return order[pos], top > -jnp.inf
+
+
 def batched_multiclass_nms(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
                            max_per_img=100, max_candidates=1024):
     """vmap of `multiclass_nms` over a leading batch dim."""
