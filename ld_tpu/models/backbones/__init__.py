@@ -1,5 +1,6 @@
+from .ssd_vgg import SSDVGG, L2Norm
 from .resnet import (ResNet, ResNeXt, ResNetV1d, BasicBlock, Bottleneck,
                      BatchNorm)
 
 __all__ = ['ResNet', 'ResNeXt', 'ResNetV1d', 'BasicBlock', 'Bottleneck',
-           'BatchNorm']
+           'BatchNorm', 'SSDVGG', 'L2Norm']

@@ -88,7 +88,7 @@ class SingleStageDetector:
 
 # thin named wrappers so reference config `type=` strings resolve 1:1
 # (/root/reference/mmdet/models/detectors/{gfl,atss,fcos,retinanet,paa,...}.py)
-for _name in ('GFL', 'ATSS', 'FCOS', 'RetinaNet', 'FoveaBox', 'FSAF', 'PAA',
+for _name in ('GFL', 'ATSS', 'FCOS', 'RetinaNet', 'SSD', 'FoveaBox', 'FSAF', 'PAA',
               'VFNet', 'YOLOV3', 'NASFCOS', 'RepPointsDetector'):
     DETECTORS.register_module(name=_name, module=type(
         _name, (SingleStageDetector, ), {}))

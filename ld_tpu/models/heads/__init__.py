@@ -5,6 +5,8 @@ from .ld_gflv2 import LDv2Head
 from .imitation_heads import IMHead, IMv2Head
 from .rpn_head import RPNHead, RPNHeadNet
 from .roi_head import StandardRoIHead, Shared2FCBBoxHeadNet
+from .ssd_head import SSDHead, SSDHeadNet, SSDAnchorGenerator
+from .mask_head import FCNMaskHead, FCNMaskHeadNet
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
 from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
 from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
@@ -12,4 +14,5 @@ from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
            'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSHead', 'RetinaGFLHead',
-           'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet']
+           'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet', 'SSDHead', 'SSDHeadNet',
+           'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet']
