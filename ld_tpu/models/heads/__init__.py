@@ -6,6 +6,7 @@ from .imitation_heads import IMHead, IMv2Head
 from .rpn_head import RPNHead, RPNHeadNet
 from .roi_head import StandardRoIHead, Shared2FCBBoxHeadNet
 from .ssd_head import SSDHead, SSDHeadNet, SSDAnchorGenerator
+from .yolo_head import YOLOV3Head, YOLOV3HeadNet, YOLOV3Neck
 from .mask_head import FCNMaskHead, FCNMaskHeadNet
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
 from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
@@ -15,4 +16,5 @@ __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
            'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSHead', 'RetinaGFLHead',
            'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet', 'SSDHead', 'SSDHeadNet',
-           'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet']
+           'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet', 'YOLOV3Head',
+           'YOLOV3HeadNet', 'YOLOV3Neck']
