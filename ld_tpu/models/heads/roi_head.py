@@ -204,8 +204,15 @@ class StandardRoIHead:
 
     # ---- inference ------------------------------------------------------------
     def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
-                    scale_factor=None, rescale=False, cfg=None):
+                    scale_factor=None, rescale=False, cfg=None,
+                    with_masks=None):
+        """Returns (dets, labels, valid) and, when the mask branch exists
+        (with_masks defaulting to True then), a 4th element: per-detection
+        sigmoid masks (B, max_per_img, 2*roi, 2*roi) in roi coordinates
+        (paste-to-image happens on host; parity: FCNMaskHead.get_seg_masks)."""
         cfg = cfg or self.test_cfg
+        if with_masks is None:
+            with_masks = self.mask_head is not None
 
         bbox_vars = self._bbox_vars(variables)
 
@@ -242,6 +249,24 @@ class StandardRoIHead:
 
         if scale_factor is None:
             scale_factor = jnp.ones((proposals.shape[0], 4))
-        return jax.vmap(per_image)(
+        dets, labels, valid = jax.vmap(per_image)(
             [f for f in feats[:len(self.featmap_strides)]], proposals,
             prop_valid, img_hw, scale_factor)
+        if not with_masks or self.mask_head is None:
+            return dets, labels, valid
+        mask_vars = self._mask_vars(variables)
+
+        def per_image_masks(img_feats, img_dets, img_labels, img_valid, sf):
+            boxes = img_dets[:, :4]
+            if rescale:  # mask rois need network-input coordinates
+                boxes = boxes * sf[None, :]
+            roi_feats = multi_level_roi_align(
+                img_feats, boxes, img_valid, self.mask_roi_size,
+                self.featmap_strides)
+            return self.mask_head.predict(mask_vars, roi_feats,
+                                          img_labels)
+
+        masks = jax.vmap(per_image_masks)(
+            [f for f in feats[:len(self.featmap_strides)]], dets, labels,
+            valid, scale_factor)
+        return dets, labels, valid, masks

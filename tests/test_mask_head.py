@@ -86,3 +86,13 @@ def test_mask_targets_crop():
     t2 = mask_targets(jnp.asarray(gm), jnp.asarray([[60., 40., 90., 60.]]),
                       jnp.asarray([0]), 8, mask_stride=4.0)
     assert float(t2.max()) < 0.2
+
+
+def test_mask_rcnn_simple_test_returns_masks():
+    det = build_detector(_mask_rcnn_cfg())
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    out = det.forward_test(v, _batch())
+    assert len(out) == 4
+    dets, labels, valid, masks = out
+    assert masks.shape == (2, 10, 28, 28)
+    assert float(masks.min()) >= 0 and float(masks.max()) <= 1
