@@ -67,6 +67,12 @@ class TwoStageDetector:
         # ROI nets initialized with dummy roi batches
         c = 256
         r2, r3 = jax.random.split(r2)
+        if hasattr(self.roi_head, 'init_all_variables'):
+            variables = dict(backbone_vars)
+            variables['params'] = dict(variables['params'])
+            variables['params']['roi_head'] = \
+                self.roi_head.init_all_variables(r2, c)
+            return variables
         roi_vars = self.roi_head.net.init(
             r2, jnp.zeros((1, self.roi_head.roi_size,
                            self.roi_head.roi_size, c)))

@@ -1,0 +1,167 @@
+"""Cascade R-CNN ROI head: iterative box refinement with rising IoU
+thresholds.
+
+Parity: /root/reference/mmdet/models/roi_heads/cascade_roi_head.py:13 —
+3 stages, assigner pos/neg IoU (0.5, 0.6, 0.7), coder stds shrinking
+(0.1/0.05/0.033 scales), per-stage loss weights (1, 0.5, 0.25), inference
+averages the 3 stages' class scores on the final boxes.
+
+Static shapes: each stage re-assigns and re-samples the SAME fixed roi
+count; refined boxes feed the next stage under stop_gradient (the reference
+detaches between stages too).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ld_tpu.ops.coder import DeltaXYWHBBoxCoder
+from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.roi_align import multi_level_roi_align
+from ld_tpu.utils.registry import HEADS
+from .roi_head import Shared2FCBBoxHeadNet, StandardRoIHead
+
+DEFAULT_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+                (0.033, 0.033, 0.067, 0.067))
+DEFAULT_IOUS = (0.5, 0.6, 0.7)
+DEFAULT_STAGE_WEIGHTS = (1.0, 0.5, 0.25)
+
+
+@HEADS.register_module()
+class CascadeRoIHead(StandardRoIHead):
+
+    def __init__(self, num_stages=3, stage_loss_weights=DEFAULT_STAGE_WEIGHTS,
+                 bbox_roi_extractor=None, bbox_head=None, train_cfg=None,
+                 test_cfg=None, dtype=None, **kwargs):
+        import jax.numpy as _jnp
+        dtype = dtype or _jnp.float32
+        # per-stage train cfgs may come as a list (mmdet style)
+        self._stage_train_cfgs = train_cfg if isinstance(train_cfg, list) \
+            else [train_cfg] * num_stages
+        bbox_heads = bbox_head if isinstance(bbox_head, list) \
+            else [bbox_head] * num_stages
+        super().__init__(bbox_roi_extractor=bbox_roi_extractor,
+                         bbox_head=bbox_heads[0],
+                         train_cfg=self._stage_train_cfgs[0],
+                         test_cfg=test_cfg, dtype=dtype)
+        self.num_stages = num_stages
+        self.stage_loss_weights = tuple(stage_loss_weights)
+        # all stages are class-agnostic regressors in Cascade R-CNN
+        self.reg_class_agnostic = True
+        self.coders = [
+            DeltaXYWHBBoxCoder(target_stds=DEFAULT_STDS[min(
+                i, len(DEFAULT_STDS) - 1)]) for i in range(num_stages)
+        ]
+        self.stage_ious = [
+            (self._stage_train_cfgs[i] or {}).get(
+                'assigner', {}).get('pos_iou_thr',
+                                    DEFAULT_IOUS[min(i, 2)])
+            for i in range(num_stages)
+        ]
+        self.nets = [
+            Shared2FCBBoxHeadNet(
+                num_classes=self.num_classes, roi_size=self.roi_size,
+                in_channels=(bbox_heads[i] or {}).get('in_channels', 256),
+                fc_dim=(bbox_heads[i] or {}).get('fc_out_channels', 1024),
+                reg_class_agnostic=True, dtype=dtype)
+            for i in range(num_stages)
+        ]
+        self.net = self.nets[0]
+
+    # ---- variables ------------------------------------------------------------
+    def init_all_variables(self, rng, in_channels=256):
+        params = {}
+        for i, net in enumerate(self.nets):
+            r = jax.random.fold_in(rng, i)
+            v = net.init(r, jnp.zeros((1, self.roi_size, self.roi_size,
+                                       in_channels)))
+            params[f'stage{i}'] = v['params']
+        return params
+
+    def _stage_vars(self, variables, i):
+        p = variables['params']
+        return {'params': p[f'stage{i}'] if f'stage{i}' in p else p}
+
+    # ---- training -------------------------------------------------------------
+    def forward_train(self, variables, feats, proposals, prop_valid, batch,
+                      rng) -> Dict[str, jnp.ndarray]:
+        losses = {}
+        boxes, valid = proposals, prop_valid
+        for i in range(self.num_stages):
+            self.assigner.pos_iou_thr = self.stage_ious[i]
+            self.assigner.neg_iou_thr = self.stage_ious[i]
+            self.assigner.min_pos_iou = self.stage_ious[i]
+            self.coder = self.coders[i]
+            (rois, roi_valid, roi_pos, labels, deltas,
+             roi_gt_inds) = jax.vmap(self.sample_rois)(
+                 boxes, valid, batch['gt_bboxes'], batch['gt_labels'],
+                 batch['gt_valid'], jax.random.split(
+                     jax.random.fold_in(rng, i), boxes.shape[0]))
+
+            def extract(img_feats, img_rois, img_valid):
+                return multi_level_roi_align(
+                    img_feats, img_rois, img_valid, self.roi_size,
+                    self.featmap_strides)
+
+            roi_feats = jax.vmap(extract)(
+                [f for f in feats[:len(self.featmap_strides)]], rois,
+                roi_valid)
+            cls, reg = self.nets[i].apply(
+                self._stage_vars(variables, i),
+                roi_feats.reshape(-1, self.roi_size, self.roi_size,
+                                  roi_feats.shape[-1]))
+            labels_f = labels.reshape(-1)
+            validf = roi_valid.reshape(-1).astype(jnp.float32)
+            posf = roi_pos.reshape(-1).astype(jnp.float32)
+            avg = jnp.maximum(validf.sum(), 1.0)
+            w = self.stage_loss_weights[i]
+            losses[f'loss_cls_s{i}'] = w * self.loss_cls_fn(
+                cls, labels_f, weight=validf, avg_factor=avg)
+            losses[f'loss_bbox_s{i}'] = w * self.loss_bbox_fn(
+                reg, deltas.reshape(-1, 4),
+                weight=jnp.repeat(posf[:, None], 4, 1),
+                avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
+            # refine rois for the next stage
+            b = rois.shape[0]
+            refined = self.coders[i].decode(
+                rois.reshape(-1, 4), reg,
+                max_shape=None).reshape(b, -1, 4)
+            boxes = jax.lax.stop_gradient(refined)
+            valid = roi_valid
+        return losses
+
+    # ---- inference ------------------------------------------------------------
+    def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
+                    scale_factor=None, rescale=False, cfg=None,
+                    with_masks=None):
+        cfg = cfg or self.test_cfg
+
+        def per_image(img_feats, img_rois, img_valid, hw, sf):
+            boxes = img_rois
+            cls_sum = None
+            for i in range(self.num_stages):
+                roi_feats = multi_level_roi_align(
+                    img_feats, boxes, img_valid, self.roi_size,
+                    self.featmap_strides)
+                cls, reg = self.nets[i].apply(
+                    self._stage_vars(variables, i), roi_feats)
+                scores = jax.nn.softmax(cls, axis=-1)
+                cls_sum = scores if cls_sum is None else cls_sum + scores
+                boxes = self.coders[i].decode(boxes, reg, max_shape=hw)
+            scores = (cls_sum / self.num_stages)[:, :self.num_classes]
+            scores = scores * img_valid[:, None]
+            out_boxes = boxes
+            if rescale and sf is not None:
+                out_boxes = out_boxes / sf[None, :]
+            return multiclass_nms(
+                out_boxes, scores, cfg.get('score_thr', 0.05),
+                cfg.get('nms', {}).get('iou_threshold', 0.5),
+                max_per_img=cfg.get('max_per_img', 100))
+
+        if scale_factor is None:
+            scale_factor = jnp.ones((proposals.shape[0], 4))
+        return jax.vmap(per_image)(
+            [f for f in feats[:len(self.featmap_strides)]], proposals,
+            prop_valid, img_hw, scale_factor)
