@@ -4,12 +4,14 @@ from .transforms import (Compose, collate_batch, LoadImageFromFile,
 from .coco import CocoDataset, SyntheticDetectionDataset, COCO_CLASSES
 from .loader import DataLoader, GroupBatchSampler, build_dataloader
 from .voc import VOCDataset
+from .lvis import LVISV1Dataset
 from .dataset_wrappers import (ConcatDataset, RepeatDataset,
                                ClassBalancedDataset)
 from .transforms import (FusedPreprocess, RandomCrop, Expand,
                          MinIoURandomCrop, CutOut)
 
 from . import corruptions  # noqa: F401 — registers Corrupt
+from . import auto_augment  # noqa: F401 — registers Shear/Rotate/...
 from ld_tpu.utils.registry import DATASETS
 
 
@@ -24,5 +26,5 @@ __all__ = [
     'COCO_CLASSES', 'DataLoader', 'GroupBatchSampler', 'build_dataloader',
     'build_dataset', 'VOCDataset', 'ConcatDataset', 'RepeatDataset',
     'ClassBalancedDataset', 'FusedPreprocess', 'RandomCrop', 'Expand',
-    'MinIoURandomCrop', 'CutOut'
+    'MinIoURandomCrop', 'CutOut', 'LVISV1Dataset'
 ]
