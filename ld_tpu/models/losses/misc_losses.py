@@ -195,3 +195,35 @@ class GHMC:
         n_nonempty = jnp.maximum((weights > 0).any(-1).sum(), 1.0)
         loss = _bce_with_logits(pred, target) * weights / self.bins
         return self.loss_weight * loss.sum() / total
+
+
+@LOSSES.register_module()
+class GHMR:
+    """Gradient-harmonized regression loss (authentic-smooth-L1 form).
+
+    Parity: /root/reference/mmdet/models/losses/ghm_loss.py (GHM-R)."""
+
+    def __init__(self, mu=0.02, bins=10, momentum=0.0, loss_weight=1.0):
+        self.mu = mu
+        self.bins = bins
+        self.loss_weight = loss_weight
+        self.edges = jnp.linspace(0, 1, bins + 1).at[-1].set(1e3)
+
+    def __call__(self, pred, target, label_weight=None, avg_factor=None,
+                 **kwargs):
+        mu = self.mu
+        diff = pred - target
+        loss = jnp.sqrt(diff * diff + mu * mu) - mu
+        g = jnp.abs(diff / jnp.sqrt(diff * diff + mu * mu))
+        if label_weight is None:
+            label_weight = jnp.ones_like(loss)
+        valid = label_weight > 0
+        total = jnp.maximum(valid.sum(), 1.0)
+        weights = jnp.zeros_like(loss)
+        for i in range(self.bins):
+            in_bin = (g >= self.edges[i]) & (g < self.edges[i + 1]) & valid
+            n = in_bin.sum()
+            weights = weights + jnp.where(in_bin,
+                                          total / jnp.maximum(n, 1.0), 0.0)
+        loss = loss * weights / self.bins
+        return self.loss_weight * loss.sum() / total

@@ -90,3 +90,12 @@ def test_cutout():
     np.random.seed(0)
     out = CutOut(n_holes=2, cutout_shape=(8, 8))(_sample())
     assert out['img'].shape == (60, 80, 3)
+
+
+def test_ghmr_loss():
+    p = jnp.asarray(RNG.randn(10, 4).astype(np.float32))
+    t = jnp.asarray(RNG.randn(10, 4).astype(np.float32))
+    ghmr = LOSSES.build(dict(type='GHMR'))
+    v = float(ghmr(p, t))
+    assert np.isfinite(v) and v > 0
+    assert abs(float(ghmr(p, p))) < 1e-6
