@@ -1,0 +1,178 @@
+"""Integration golden test: GFLHead.loss vs an independent torch
+re-computation of the reference's loss pipeline (gfl_head.py:196-352
+semantics: per-positive gathers, avg_factor = sum of max-sigmoid weights,
+num_total_samples = per-image max(pos,1) summed) on identical inputs.
+
+This guards the normalization semantics end-to-end — the place SURVEY §7
+flags as 'silently wrong scaling costs AP'.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+import ld_tpu
+from ld_tpu.models import build_detector
+from ld_tpu.ops import AnchorGenerator, ATSSAssigner
+
+
+def _cfg():
+    return dict(
+        type='GFL',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(type='GFLHead', num_classes=4, in_channels=32,
+                       stacked_convs=1, feat_channels=32, reg_max=16,
+                       loss_bbox=dict(type='GIoULoss', loss_weight=2.0),
+                       loss_dfl=dict(type='DistributionFocalLoss',
+                                     loss_weight=0.25)),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=10))
+
+
+def _torch_reference_loss(cls_np, pred_np, anchors, strides, labels, targets,
+                          valid, num_classes=4, reg_max=16):
+    """The reference loss math (torch ops, gather-style) given the SAME
+    assignment results."""
+    t_cls = torch.from_numpy(cls_np)            # (N, C) logits
+    t_pred = torch.from_numpy(pred_np)          # (N, 4*(m+1))
+    anchors = torch.from_numpy(anchors)
+    strides = torch.from_numpy(strides)
+    labels = torch.from_numpy(labels)
+    targets = torch.from_numpy(targets)
+    label_weights = torch.from_numpy(valid.astype(np.float32))
+
+    pos = ((labels >= 0) & (labels < num_classes)).nonzero().squeeze(1)
+    num_total_samples = max(float(len(pos)), 1.0)  # single image
+
+    def integral(x):
+        x = F.softmax(x.reshape(-1, reg_max + 1), dim=1)
+        proj = torch.linspace(0, reg_max, reg_max + 1)
+        return (x * proj).sum(1).reshape(-1, 4)
+
+    centers = torch.stack([(anchors[:, 0] + anchors[:, 2]) / 2,
+                           (anchors[:, 1] + anchors[:, 3]) / 2], -1)
+    score = torch.zeros(labels.shape)
+    if len(pos):
+        pc = centers[pos] / strides[pos, None]
+        dist = integral(t_pred[pos])
+        dec = torch.stack([pc[:, 0] - dist[:, 0], pc[:, 1] - dist[:, 1],
+                           pc[:, 0] + dist[:, 2], pc[:, 1] + dist[:, 3]],
+                          -1)
+        tgt = targets[pos] / strides[pos, None]
+        # aligned IoU
+        lt = torch.max(dec[:, :2], tgt[:, :2])
+        rb = torch.min(dec[:, 2:], tgt[:, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        a1 = (dec[:, 2] - dec[:, 0]) * (dec[:, 3] - dec[:, 1])
+        a2 = (tgt[:, 2] - tgt[:, 0]) * (tgt[:, 3] - tgt[:, 1])
+        union = (a1 + a2 - inter).clamp(min=1e-6)
+        score[pos] = inter / union
+        weight_targets = t_cls.sigmoid().max(1)[0][pos]
+        # giou
+        elt = torch.min(dec[:, :2], tgt[:, :2])
+        erb = torch.max(dec[:, 2:], tgt[:, 2:])
+        ewh = (erb - elt).clamp(min=0)
+        ea = (ewh[:, 0] * ewh[:, 1]).clamp(min=1e-7)
+        giou = inter / union - (ea - union) / ea
+        loss_bbox_sum = 2.0 * ((1 - giou) * weight_targets).sum()
+        # dfl
+        tc = torch.stack([pc[:, 0] - tgt[:, 0], pc[:, 1] - tgt[:, 1],
+                          tgt[:, 2] - pc[:, 0], tgt[:, 3] - pc[:, 1]],
+                         -1).clamp(0, reg_max - 0.1).reshape(-1)
+        pcorner = t_pred[pos].reshape(-1, reg_max + 1)
+        dl = tc.long()
+        wl = (dl + 1).float() - tc
+        wr = tc - dl.float()
+        dfl = (F.cross_entropy(pcorner, dl, reduction='none') * wl +
+               F.cross_entropy(pcorner, dl + 1, reduction='none') * wr)
+        w4 = weight_targets[:, None].expand(-1, 4).reshape(-1)
+        loss_dfl_sum = 0.25 * (dfl * w4).sum() / 4.0
+        avg = float(weight_targets.sum())
+    else:
+        loss_bbox_sum = torch.tensor(0.0)
+        loss_dfl_sum = torch.tensor(0.0)
+        avg = 0.0
+    # qfl
+    sig = t_cls.sigmoid()
+    qfl = F.binary_cross_entropy_with_logits(
+        t_cls, torch.zeros_like(t_cls), reduction='none') * sig.pow(2)
+    if len(pos):
+        pl = labels[pos]
+        sf = score[pos] - sig[pos, pl]
+        qfl[pos, pl] = F.binary_cross_entropy_with_logits(
+            t_cls[pos, pl], score[pos],
+            reduction='none') * sf.abs().pow(2)
+    loss_cls = (qfl.sum(1) * label_weights).sum() / num_total_samples
+    avg = avg + 1e-6
+    return (float(loss_cls), float(loss_bbox_sum) / avg,
+            float(loss_dfl_sum) / avg)
+
+
+def test_gfl_loss_matches_torch_reference_pipeline():
+    det = build_detector(_cfg())
+    head = det.bbox_head
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    featmap_sizes = [(max(1, -(-h // s)), max(1, -(-w // s)))
+                     for s in (8, 16, 32, 64, 128)]
+
+    # random head outputs in NHWC level form
+    cls_lvls = [rng.randn(1, fh, fw, 4).astype(np.float32) * 2
+                for fh, fw in featmap_sizes]
+    pred_lvls = [rng.randn(1, fh, fw, 68).astype(np.float32)
+                 for fh, fw in featmap_sizes]
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0] = [8, 8, 40, 48]
+    gt[0, 1] = [20, 16, 80, 60]
+    gv = np.zeros((1, 4), bool)
+    gv[0, :2] = True
+    gl = np.zeros((1, 4), np.int32)
+    gl[0, 1] = 2
+    batch = dict(gt_bboxes=jnp.asarray(gt), gt_labels=jnp.asarray(gl),
+                 gt_valid=jnp.asarray(gv),
+                 img_hw=jnp.asarray([[float(h), float(w)]]))
+
+    got = head.loss(([jnp.asarray(c) for c in cls_lvls],
+                     [jnp.asarray(p) for p in pred_lvls]), batch,
+                    featmap_sizes)
+
+    # reproduce the assignment with the (oracle-tested) assigner, then run
+    # the torch reference math on the SAME labels/targets
+    gen = head.anchor_generator
+    anchors = np.concatenate([np.asarray(a)
+                              for a in gen.grid_anchors(featmap_sizes)])
+    num_lvl = gen.num_level_anchors(featmap_sizes)
+    strides = np.concatenate([
+        np.full(n, s[0], np.float32) for n, s in zip(num_lvl, gen.strides)
+    ])
+    res = ATSSAssigner(topk=9).assign(
+        jnp.asarray(anchors), num_lvl, jnp.asarray(gt[0]),
+        jnp.asarray(gl[0]), jnp.asarray(gv[0]), num_classes=4)
+    labels = np.asarray(res.labels).astype(np.int64)
+    safe = np.maximum(np.asarray(res.assigned_gt_inds), 0)
+    targets = np.where(np.asarray(res.pos_mask)[:, None], gt[0][safe], 0.0)
+
+    cls_flat = np.concatenate([c.reshape(-1, 4) for c in cls_lvls])
+    pred_flat = np.concatenate([p.reshape(-1, 68) for p in pred_lvls])
+    valid = np.ones(len(anchors), bool)
+
+    want_cls, want_bbox, want_dfl = _torch_reference_loss(
+        cls_flat, pred_flat, anchors, strides, labels,
+        targets.astype(np.float32), valid)
+
+    assert abs(float(got['loss_cls']) - want_cls) / want_cls < 1e-3, (
+        float(got['loss_cls']), want_cls)
+    assert abs(float(got['loss_bbox']) - want_bbox) / max(want_bbox,
+                                                          1e-6) < 1e-3, (
+        float(got['loss_bbox']), want_bbox)
+    assert abs(float(got['loss_dfl']) - want_dfl) / max(want_dfl,
+                                                        1e-6) < 1e-3, (
+        float(got['loss_dfl']), want_dfl)
