@@ -13,6 +13,14 @@ data = dict(
                    dict(type='Collect',
                         keys=['img', 'gt_bboxes', 'gt_labels']),
                ]),
+    val=dict(_delete_=True, type='SyntheticDetectionDataset', num_images=8,
+             hw=(160, 224),
+             pipeline=[
+                 dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+                      std=[58.395, 57.12, 57.375], to_rgb=True),
+                 dict(type='Pad', size_divisor=32),
+                 dict(type='Collect', keys=['img']),
+             ]),
     test=dict(_delete_=True, type='SyntheticDetectionDataset', num_images=8,
               hw=(160, 224),
               pipeline=[

@@ -137,7 +137,6 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                 'val' in cfg.get('data', {}):
             try:
                 from ld_tpu.apis.test import eval_detector
-                from ld_tpu.data import build_dataset
                 val_ds = build_dataset(cfg.data['val'])
                 variables = {'params': state.params,
                              'batch_stats': state.batch_stats}
