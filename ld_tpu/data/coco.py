@@ -166,9 +166,16 @@ class CocoDataset:
 
     def evaluate(self, det_results, metric='bbox', classwise=False,
                  iou_thrs=None, logger=None):
-        from ld_tpu.evaluation.coco_eval import CocoEvaluator
-        evaluator = CocoEvaluator(self, iou_thrs=iou_thrs)
-        return evaluator.evaluate(det_results, classwise=classwise)
+        metrics = [metric] if isinstance(metric, str) else list(metric)
+        out = {}
+        if 'bbox' in metrics:
+            from ld_tpu.evaluation.coco_eval import CocoEvaluator
+            out.update(CocoEvaluator(self, iou_thrs=iou_thrs).evaluate(
+                det_results, classwise=classwise))
+        if 'segm' in metrics:
+            from ld_tpu.evaluation.segm_eval import SegmEvaluator
+            out.update(SegmEvaluator(self).evaluate(det_results))
+        return out
 
 
 @DATASETS.register_module()

@@ -1,0 +1,233 @@
+"""Instance-segmentation (mask AP) evaluation.
+
+Parity: the COCOeval 'segm' protocol (the reference delegates to
+pycocotools; mmdet/datasets/coco.py:363 with metric='segm'). Same matching
+machinery as bbox eval (greedy per image/category over 10 IoU thresholds)
+with IoU computed between pasted binary masks instead of boxes. Masks are
+evaluated at 1/`scale` resolution (default 1/4) — the standard accuracy/
+memory trade (<0.3 mask-AP effect).
+
+Detections come as roi-space sigmoid masks (R, 2s, 2s) + boxes; `paste_mask`
+reproduces mmcv's paste (resize into the box, threshold 0.5).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from .coco_eval import (AREA_RNG, IOU_THRS, MAX_DETS, REC_THRS)
+
+
+def paste_mask(mask: np.ndarray, box: np.ndarray, out_h: int, out_w: int,
+               thr: float = 0.5) -> np.ndarray:
+    """Paste one roi-space mask into a (out_h, out_w) bitmap."""
+    x1, y1, x2, y2 = box[:4]
+    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+    x1i, y1i = max(x1i, 0), max(y1i, 0)
+    x2i, y2i = min(x2i, out_w), min(y2i, out_h)
+    out = np.zeros((out_h, out_w), bool)
+    if x2i <= x1i or y2i <= y1i:
+        return out
+    m = cv2.resize(mask.astype(np.float32), (x2i - x1i, y2i - y1i),
+                   interpolation=cv2.INTER_LINEAR)
+    out[y1i:y2i, x1i:x2i] = m >= thr
+    return out
+
+
+def rasterize_polygons(polys, h: int, w: int) -> np.ndarray:
+    m = np.zeros((h, w), np.uint8)
+    if polys:
+        pts = [np.asarray(p, np.float32).reshape(-1, 2).astype(np.int32)
+               for p in polys if p is not None and len(p) >= 6]
+        if pts:
+            cv2.fillPoly(m, pts, 1)
+    return m.astype(bool)
+
+
+def mask_iou(det_masks: np.ndarray, gt_masks: np.ndarray,
+             iscrowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU between boolean mask stacks; crowd columns use IoF."""
+    d = det_masks.reshape(len(det_masks), -1).astype(np.float64)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float64)
+    inter = d @ g.T
+    area_d = d.sum(1)[:, None]
+    area_g = g.sum(1)[None, :]
+    union = np.where(iscrowd[None, :], area_d, area_d + area_g - inter)
+    return inter / np.maximum(union, 1e-10)
+
+
+def _match_with_ious(ious, det_areas, gt_ignore, gt_crowd, area_rng,
+                     max_det):
+    """Greedy matching given a precomputed IoU matrix (dets score-sorted)."""
+    T = len(IOU_THRS)
+    D, G = ious.shape
+    dtm = np.zeros((T, D), bool)
+    dt_ig = np.zeros((T, D), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        gt_matched = np.zeros(G, bool)
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_g = -1
+            for g in range(G):
+                if gt_matched[g] and not gt_crowd[g]:
+                    continue
+                if best_g > -1 and not gt_ignore[best_g] and gt_ignore[g]:
+                    break
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                best_g = g
+            if best_g == -1:
+                continue
+            gt_matched[best_g] = True
+            dtm[ti, d] = True
+            dt_ig[ti, d] = gt_ignore[best_g]
+    out_of_rng = (det_areas < area_rng[0]) | (det_areas > area_rng[1])
+    dt_ig = dt_ig | (~dtm & out_of_rng[None, :])
+    return dtm, dt_ig
+
+
+class SegmEvaluator:
+    """Mask AP over a dataset with polygon gt annotations.
+
+    det_results per image: dict(boxes (n, 5), labels (n,), masks (n, s, s)
+    roi-space sigmoid masks). Boxes/masks in ORIGINAL image coordinates.
+    """
+
+    def __init__(self, dataset, scale: int = 4):
+        self.dataset = dataset
+        self.scale = scale
+        self.num_classes = len(dataset.CLASSES)
+
+    def _gt_bitmaps(self, i, h, w):
+        ann = self.dataset.get_ann_info(i)
+        s = self.scale
+        return [cv2.resize(
+            rasterize_polygons(p, h, w).astype(np.uint8),
+            (max(1, w // s), max(1, h // s)),
+            interpolation=cv2.INTER_NEAREST).astype(bool)
+            for p in ann.get('masks', [])], ann
+
+    def evaluate(self, det_results: List[Dict]) -> Dict[str, float]:
+        num_imgs = len(det_results)
+        T, R, K = len(IOU_THRS), len(REC_THRS), self.num_classes
+        A, M = len(AREA_RNG), len(MAX_DETS)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        # pre-paste everything once per image
+        per_img = []
+        for i in range(num_imgs):
+            info = self.dataset.img_infos[i]
+            h, w = info['height'], info['width']
+            s = self.scale
+            sh, sw = max(1, h // s), max(1, w // s)
+            gt_bitmaps, ann = self._gt_bitmaps(i, h, w)
+            res = det_results[i]
+            boxes = np.asarray(res['boxes'])
+            labels = np.asarray(res['labels'])
+            masks = np.asarray(res.get('masks', np.zeros((0, 1, 1))))
+            det_bitmaps = [
+                paste_mask(masks[d], boxes[d] / s, sh, sw)
+                for d in range(len(boxes))
+            ]
+            per_img.append((gt_bitmaps, ann, boxes, labels, det_bitmaps))
+
+        area_items = list(AREA_RNG.items())
+        for k in range(K):
+            for ai, (aname, arng) in enumerate(area_items):
+                rng_s = (arng[0] / self.scale**2, arng[1] / self.scale**2)
+                for mi, max_det in enumerate(MAX_DETS):
+                    dtm_all, dtig_all, scores_all = [], [], []
+                    npig = 0
+                    for i in range(num_imgs):
+                        gt_bitmaps, ann, boxes, labels, det_bitmaps = \
+                            per_img[i]
+                        gsel = [j for j, l in enumerate(ann['labels'])
+                                if l == k]
+                        dsel = [j for j in range(len(labels))
+                                if labels[j] == k]
+                        if not gsel and not dsel:
+                            continue
+                        order = np.argsort(
+                            -boxes[dsel, 4],
+                            kind='mergesort')[:max_det] if dsel else []
+                        dsel = [dsel[o] for o in order]
+                        dmask = np.stack([det_bitmaps[j] for j in dsel]) \
+                            if dsel else np.zeros((0, 1, 1), bool)
+                        gmask = np.stack([gt_bitmaps[j] for j in gsel]) \
+                            if gsel else np.zeros(
+                                (0, ) + dmask.shape[1:], bool)
+                        g_areas = gmask.reshape(len(gmask), -1).sum(1)
+                        gt_ignore = (g_areas < rng_s[0]) | \
+                            (g_areas > rng_s[1])
+                        g_order = np.argsort(gt_ignore, kind='mergesort')
+                        gmask = gmask[g_order]
+                        gt_ignore = gt_ignore[g_order]
+                        crowd = np.zeros(len(gmask), bool)
+                        if len(dmask) and len(gmask):
+                            ious = mask_iou(dmask, gmask, crowd)
+                        else:
+                            ious = np.zeros((len(dmask), len(gmask)))
+                        d_areas = dmask.reshape(len(dmask), -1).sum(1) \
+                            if len(dmask) else np.zeros(0)
+                        dtm, dtig = _match_with_ious(
+                            ious, d_areas, gt_ignore, crowd, rng_s, max_det)
+                        dtm_all.append(dtm)
+                        dtig_all.append(dtig)
+                        scores_all.append(boxes[dsel, 4] if dsel else
+                                          np.zeros(0))
+                        npig += int((~gt_ignore).sum())
+                    if npig == 0:
+                        continue
+                    dtm = np.concatenate(dtm_all, 1) if dtm_all else \
+                        np.zeros((T, 0), bool)
+                    dtig = np.concatenate(dtig_all, 1) if dtig_all else \
+                        np.zeros((T, 0), bool)
+                    scores = np.concatenate(scores_all) if scores_all else \
+                        np.zeros(0)
+                    order = np.argsort(-scores, kind='mergesort')
+                    dtm, dtig = dtm[:, order], dtig[:, order]
+                    tps = (dtm & ~dtig).astype(np.float64)
+                    fps = (~dtm & ~dtig).astype(np.float64)
+                    tp_sum = tps.cumsum(1)
+                    fp_sum = fps.cumsum(1)
+                    for ti in range(T):
+                        tp, fp = tp_sum[ti], fp_sum[ti]
+                        rc = tp / npig
+                        pr = tp / np.maximum(tp + fp, 1e-10)
+                        recall[ti, k, ai, mi] = rc[-1] if len(rc) else 0.0
+                        q = np.zeros(R)
+                        if len(pr):
+                            for d in range(len(pr) - 1, 0, -1):
+                                pr[d - 1] = max(pr[d - 1], pr[d])
+                            inds = np.searchsorted(rc, REC_THRS, side='left')
+                            valid = inds < len(pr)
+                            q[valid] = pr[inds[valid]]
+                        precision[ti, :, k, ai, mi] = q
+
+        def summ(iou=None, area='all'):
+            ai = list(AREA_RNG).index(area)
+            mi = MAX_DETS.index(100)
+            s = precision[:, :, :, ai, mi]
+            if iou is not None:
+                s = s[[np.argmin(np.abs(IOU_THRS - iou))]]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else float('nan')
+
+        return {
+            'segm_mAP': summ(),
+            'segm_mAP_50': summ(iou=0.5),
+            'segm_mAP_75': summ(iou=0.75),
+            'segm_mAP_s': summ(area='small'),
+            'segm_mAP_m': summ(area='medium'),
+            'segm_mAP_l': summ(area='large'),
+        }
