@@ -56,6 +56,11 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger(os.path.join(work_dir, 'train.log'))
     rng = set_random_seed(cfg.get('seed', 0))
+    if cfg.get('debug'):
+        # NaN guard (the TPU answer to SURVEY §5.2's sanitizer gap): any NaN
+        # produced inside the jitted step raises at the exact primitive
+        jax.config.update('jax_debug_nans', True)
+        logger.info('debug mode: jax_debug_nans enabled')
 
     dataset = dataset or build_dataset(cfg.data['train'])
     mesh = create_mesh(('data', ))
