@@ -46,7 +46,10 @@ class ConvGNBlock(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2,
                     use_bias=False, dtype=self.dtype,
                     kernel_init=nn.initializers.normal(0.01))(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        # epsilon matches torch/mmcv GroupNorm (1e-5); the flax default 1e-6
+        # visibly diverges on 1x1 feature maps where group variance is tiny
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 

@@ -218,6 +218,6 @@ def test_full_detector_matches_torch_after_conversion():
             t_np = np.transpose(t.numpy(), (0, 2, 3, 1))
             diff = np.abs(np.asarray(j) - t_np)
             # ~30 conv layers of fp32 reassociation between XLA and oneDNN
-            assert diff.max() < 2e-2, (lvl, float(diff.max()))
+            assert diff.max() < 5e-3, (lvl, float(diff.max()))
             denom = np.abs(t_np) + 1e-2
-            assert np.median(diff / denom) < 1e-3, lvl
+            assert np.median(diff / denom) < 2e-4, lvl
