@@ -8,6 +8,7 @@ from .roi_head import StandardRoIHead, Shared2FCBBoxHeadNet
 from .cascade_roi_head import CascadeRoIHead
 from .retina_head import RetinaHead, RetinaHeadNet
 from .classic_heads import FCOSHead, ATSSHead, FCOSHeadNet, ATSSHeadNet
+from .fovea_head import FoveaHead, FoveaHeadNet
 from .ssd_head import SSDHead, SSDHeadNet, SSDAnchorGenerator
 from .yolo_head import YOLOV3Head, YOLOV3HeadNet, YOLOV3Neck
 from .mask_head import FCNMaskHead, FCNMaskHeadNet
@@ -21,4 +22,4 @@ __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet', 'SSDHead', 'SSDHeadNet',
            'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet', 'YOLOV3Head',
            'YOLOV3HeadNet', 'YOLOV3Neck', 'CascadeRoIHead', 'RetinaHead', 'RetinaHeadNet', 'FCOSHead', 'ATSSHead', 'FCOSHeadNet',
-           'ATSSHeadNet']
+           'ATSSHeadNet', 'FoveaHead', 'FoveaHeadNet']

@@ -55,3 +55,20 @@ def test_plain_atss_head():
     assert all(np.isfinite(float(x)) for x in losses.values())
     d, _, _ = det.forward_test(v, batch)
     assert d.shape == (2, 10, 5)
+
+
+def test_fovea_head():
+    cfg = dict(type='FoveaBox', bbox_head=dict(
+        type='FoveaHead', num_classes=6, in_channels=32, stacked_convs=1,
+        feat_channels=32, strides=[8, 16, 32, 64, 128],
+        base_edge_list=[16, 32, 64, 128, 256],
+        scale_ranges=((1, 64), (32, 128), (64, 256), (128, 512),
+                      (256, 2048)), sigma=0.4), **base)
+    det = build_detector(cfg)
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    losses = det.forward_train(v, batch)
+    assert set(losses) == {'loss_cls', 'loss_bbox'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+    assert float(losses['loss_bbox']) > 0  # some cells in the shrunk boxes
+    d, _, _ = det.forward_test(v, batch)
+    assert d.shape == (2, 10, 5)
