@@ -4,11 +4,12 @@ from .anchors import AnchorGenerator, PointGenerator
 from .integral import integral
 from .atss_assigner import ATSSAssigner, AssignResult
 from .max_iou_assigner import MaxIoUAssigner
-from .extra_assigners import HungarianAssigner, PointAssigner
+from .extra_assigners import (HungarianAssigner, PointAssigner,
+                               CenterRegionAssigner)
 
 __all__ = [
     'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
     'bbox_flip', 'AnchorGenerator', 'PointGenerator', 'integral',
     'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner', 'HungarianAssigner',
-    'PointAssigner'
+    'PointAssigner', 'CenterRegionAssigner'
 ]

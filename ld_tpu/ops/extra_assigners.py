@@ -111,3 +111,59 @@ class PointAssigner:
             max_overlaps=jnp.where(pos, 1.0, 0.0),
             labels=labels.astype(jnp.int32),
             pos_mask=pos)
+
+
+@ASSIGNERS.register_module()
+class CenterRegionAssigner:
+    """Center-region assignment (FSAF/Guided-Anchoring style): anchors whose
+    centre lies in the pos_scale-shrunk gt box are positive; the
+    ignore_scale-shrunk band is excluded from the negative set; smaller gts
+    take precedence on overlaps.
+
+    Parity: /root/reference/mmdet/core/bbox/assigners/center_region_assigner.py.
+    Returns AssignResult plus an `ignore` mask via max_overlaps==-1 marking.
+    """
+
+    def __init__(self, pos_scale=0.2, neg_scale=0.5, min_pos_iof=1e-2,
+                 **kwargs):
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+
+    @staticmethod
+    def _in_scaled(points, gtb, scale):
+        cx = (gtb[:, 0] + gtb[:, 2]) / 2
+        cy = (gtb[:, 1] + gtb[:, 3]) / 2
+        w = (gtb[:, 2] - gtb[:, 0]) * scale
+        h = (gtb[:, 3] - gtb[:, 1]) * scale
+        return ((points[:, 0:1] >= (cx - w / 2)[None, :]) &
+                (points[:, 0:1] <= (cx + w / 2)[None, :]) &
+                (points[:, 1:2] >= (cy - h / 2)[None, :]) &
+                (points[:, 1:2] <= (cy + h / 2)[None, :]))
+
+    def assign(self, bboxes, num_level_bboxes, gt_bboxes, gt_labels,
+               gt_valid, valid_mask=None, num_classes=80) -> AssignResult:
+        n = bboxes.shape[0]
+        if valid_mask is None:
+            valid_mask = jnp.ones((n, ), bool)
+        centers = jnp.stack([(bboxes[:, 0] + bboxes[:, 2]) / 2,
+                             (bboxes[:, 1] + bboxes[:, 3]) / 2], -1)
+        pos_in = self._in_scaled(centers, gt_bboxes, self.pos_scale) & \
+            gt_valid[None, :] & valid_mask[:, None]
+        ign_in = self._in_scaled(centers, gt_bboxes, self.neg_scale) & \
+            gt_valid[None, :]
+        areas = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * \
+            (gt_bboxes[:, 3] - gt_bboxes[:, 1])
+        masked = jnp.where(pos_in, areas[None, :], INF)
+        best = masked.argmin(axis=1)
+        pos = masked.min(axis=1) < INF / 2
+        # ignore band: inside some neg_scale region but not positive
+        ignore = ign_in.any(axis=1) & ~pos
+        labels = jnp.where(pos, gt_labels[best], num_classes)
+        # max_overlaps doubles as the ignore marker (-1), matching the
+        # reference's shadowed-gt bookkeeping
+        overlaps = jnp.where(pos, 1.0, jnp.where(ignore, -1.0, 0.0))
+        return AssignResult(
+            assigned_gt_inds=jnp.where(pos, best, -1).astype(jnp.int32),
+            max_overlaps=overlaps,
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos)

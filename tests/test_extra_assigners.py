@@ -56,3 +56,23 @@ def test_fast_nms_suppresses_same_class_only():
     idx, valid = fast_nms(boxes, scores, labels, 0.5, max_out=3)
     kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
     assert kept == {0, 2}
+
+
+def test_center_region_assigner():
+    from ld_tpu.ops.extra_assigners import CenterRegionAssigner
+    # anchors on an 8-stride grid over 64x64
+    xs = np.arange(8, dtype=np.float32) * 8 + 4
+    pts = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2)
+    anchors = np.concatenate([pts - 4, pts + 4], -1).astype(np.float32)
+    gt = jnp.asarray([[8., 8., 56., 56.]])   # 48x48 box centered (32, 32)
+    res = CenterRegionAssigner(pos_scale=0.2, neg_scale=0.5).assign(
+        jnp.asarray(anchors), [64], gt, jnp.asarray([3]),
+        jnp.ones(1, bool), num_classes=5)
+    pos = np.asarray(res.pos_mask)
+    # pos region: 9.6x9.6 box around (32,32) -> only centers (28,28)..(36,36)
+    assert pos.sum() >= 1
+    centers = (anchors[:, :2] + anchors[:, 2:]) / 2
+    assert np.all(np.abs(centers[pos] - 32) <= 4.8 + 1e-3)
+    ign = np.asarray(res.max_overlaps) == -1.0
+    assert ign.sum() > 0 and not (ign & pos).any()
+    assert (np.asarray(res.labels)[pos] == 3).all()
