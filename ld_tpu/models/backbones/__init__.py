@@ -2,6 +2,11 @@ from .ssd_vgg import SSDVGG, L2Norm
 from .darknet import Darknet, ConvBNLeaky
 from .resnet import (ResNet, ResNeXt, ResNetV1d, BasicBlock, Bottleneck,
                      BatchNorm)
+from .regnet import RegNet
+from .res2net import Res2Net
+from .hrnet import HRNet
+from .hourglass import HourglassNet
 
 __all__ = ['ResNet', 'ResNeXt', 'ResNetV1d', 'BasicBlock', 'Bottleneck',
-           'BatchNorm', 'SSDVGG', 'L2Norm', 'Darknet', 'ConvBNLeaky']
+           'BatchNorm', 'SSDVGG', 'L2Norm', 'Darknet', 'ConvBNLeaky',
+           'RegNet', 'Res2Net', 'HRNet', 'HourglassNet']

@@ -15,6 +15,10 @@ from .mask_head import FCNMaskHead, FCNMaskHeadNet
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
 from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
 from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
+from .fsaf_head import FSAFHead
+from .free_anchor_head import FreeAnchorRetinaHead
+from .sabl_retina_head import SABLRetinaHead, SABLRetinaHeadNet
+from .paa_head import PAAHead
 
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
@@ -22,4 +26,6 @@ __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet', 'SSDHead', 'SSDHeadNet',
            'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet', 'YOLOV3Head',
            'YOLOV3HeadNet', 'YOLOV3Neck', 'CascadeRoIHead', 'RetinaHead', 'RetinaHeadNet', 'FCOSHead', 'ATSSHead', 'FCOSHeadNet',
-           'ATSSHeadNet', 'FoveaHead', 'FoveaHeadNet']
+           'ATSSHeadNet', 'FoveaHead', 'FoveaHeadNet', 'FSAFHead',
+           'FreeAnchorRetinaHead', 'SABLRetinaHead', 'SABLRetinaHeadNet',
+           'PAAHead']

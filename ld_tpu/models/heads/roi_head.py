@@ -83,6 +83,10 @@ class StandardRoIHead:
         self.num_samples = s_cfg.get('num', 512)
         self.pos_fraction = s_cfg.get('pos_fraction', 0.25)
         self.add_gt_as_proposals = s_cfg.get('add_gt_as_proposals', True)
+        from ld_tpu.ops.samplers import build_sampler
+        self.sampler = build_sampler(
+            {**s_cfg, 'type': s_cfg.get('type', 'RandomSampler')},
+            num=self.num_samples, pos_fraction=self.pos_fraction)
         self.net = Shared2FCBBoxHeadNet(
             num_classes=self.num_classes, roi_size=self.roi_size,
             in_channels=bbox_head.get('in_channels', 256),
@@ -111,18 +115,13 @@ class StandardRoIHead:
         res = self.assigner.assign(
             proposals, [proposals.shape[0]], gt_bboxes, gt_labels, gt_valid,
             prop_valid, num_classes=self.num_classes)
-        r1, r2 = jax.random.split(rng)
-        num_pos_max = int(self.num_samples * self.pos_fraction)
-        pos_sel = randomized_topk_mask(res.pos_mask & prop_valid,
-                                       num_pos_max, r1)
-        n_pos = pos_sel.sum()
-        neg_mask = (~res.pos_mask) & prop_valid
-        keys = jnp.where(neg_mask, jax.random.uniform(r2, neg_mask.shape),
-                         -1.0)
-        kth_idx = jnp.clip(self.num_samples - n_pos - 1, 0,
-                           neg_mask.shape[0] - 1)
-        kth = jnp.sort(keys)[::-1][kth_idx]
-        neg_sel = neg_mask & (keys >= jnp.maximum(kth, 0.0))
+        from ld_tpu.ops.boxes import bbox_overlaps
+        raw_iou = jnp.max(
+            jnp.where(gt_valid[None, :],
+                      bbox_overlaps(proposals, gt_bboxes), 0.0), -1)
+        pos_sel, neg_sel, _ = self.sampler.sample(
+            rng, res.pos_mask & prop_valid, (~res.pos_mask) & prop_valid,
+            gt_inds=res.assigned_gt_inds, max_overlaps=raw_iou)
 
         sel = pos_sel | neg_sel
         # gather a fixed `num_samples` roi set (selected first, by key rank)

@@ -29,6 +29,11 @@ def binary_cross_entropy(pred, label, weight=None, reduction='mean',
         jnp.exp(-jnp.abs(pred)))
     if class_weight is not None:
         loss = loss * jnp.asarray(class_weight)
+    # element-wise weights (e.g. SABL bucket-cls ignore masks) apply before
+    # the per-row class sum; per-row weights after (mmdet expands them)
+    if weight is not None and weight.ndim == loss.ndim and loss.ndim > 1:
+        loss = loss * weight
+        weight = None
     loss = loss.sum(axis=-1) if loss.ndim > 1 else loss
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ld_tpu.utils.registry import IOU_CALCULATORS  # reuse a registry? no
@@ -127,3 +128,110 @@ class TBLRBBoxCoder:
                 jnp.clip(out[..., 2], 0, ww), jnp.clip(out[..., 3], 0, hh)
             ], axis=-1)
         return out
+
+
+def bbox_rescale(bboxes, scale_factor=1.0):
+    """Rescale boxes about their centers."""
+    cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+    cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+    w = (bboxes[..., 2] - bboxes[..., 0]) * scale_factor
+    h = (bboxes[..., 3] - bboxes[..., 1]) * scale_factor
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+@register_coder
+class BucketingBBoxCoder:
+    """Side-aware bucketing coder (SABL).
+
+    Parity: /root/reference/mmdet/core/bbox/coder/bucketing_bbox_coder.py:12
+    — encode returns (offsets, offset_weights, bucket one-hot labels,
+    bucket cls weights) each of shape (N, 4*side_num); decode applies the
+    argmax bucket + its fine offset per side and returns (boxes,
+    localization confidence = mean over sides of top1(+adjacent top2)
+    softmax score).
+    """
+
+    def __init__(self, num_buckets=14, scale_factor=1.7, offset_topk=2,
+                 offset_upperbound=1.0, cls_ignore_neighbor=True,
+                 clip_border=True):
+        self.num_buckets = num_buckets
+        self.side_num = int(math.ceil(num_buckets / 2.0))
+        self.scale_factor = scale_factor
+        self.offset_topk = offset_topk
+        self.offset_upperbound = offset_upperbound
+        self.cls_ignore_neighbor = cls_ignore_neighbor
+        self.clip_border = clip_border
+
+    def _buckets(self, proposals):
+        p = bbox_rescale(proposals, self.scale_factor)
+        pw = p[..., 2] - p[..., 0]
+        ph = p[..., 3] - p[..., 1]
+        bw = pw / self.num_buckets
+        bh = ph / self.num_buckets
+        steps = 0.5 + jnp.arange(self.side_num, dtype=jnp.float32)
+        l = p[..., 0:1] + steps * bw[..., None]
+        r = p[..., 2:3] - steps * bw[..., None]
+        t = p[..., 1:2] + steps * bh[..., None]
+        d = p[..., 3:4] - steps * bh[..., None]
+        return bw, bh, l, r, t, d
+
+    def encode(self, proposals, gt):
+        bw, bh, l, r, t, d = self._buckets(proposals)
+        offs = [(l - gt[..., 0:1]) / bw[..., None],
+                (r - gt[..., 2:3]) / bw[..., None],
+                (t - gt[..., 1:2]) / bh[..., None],
+                (d - gt[..., 3:4]) / bh[..., None]]
+        off_ws, labels_1h, cls_ws = [], [], []
+        for o in offs:
+            a = jnp.abs(o)
+            # top-k nearest buckets get regression supervision; k>=1 ones
+            # only when within offset_upperbound
+            order = jnp.argsort(a, axis=-1)
+            w = jnp.zeros_like(o)
+            for k in range(self.offset_topk):
+                idx = order[..., k]
+                val = jnp.take_along_axis(a, idx[..., None], -1)[..., 0]
+                ok = 1.0 if k == 0 else \
+                    (val < self.offset_upperbound).astype(o.dtype)
+                w = w + jax.nn.one_hot(idx, self.side_num, dtype=o.dtype) * \
+                    (ok if k == 0 else ok[..., None])
+            off_ws.append(jnp.minimum(w, 1.0))
+            lab = jax.nn.one_hot(order[..., 0], self.side_num, dtype=o.dtype)
+            labels_1h.append(lab)
+            # ignore near-miss neighbours for the bucket classifier
+            if self.cls_ignore_neighbor:
+                cw = jnp.where((a < 1.0) & (lab == 0.0), 0.0, 1.0)
+            else:
+                cw = jnp.ones_like(a)
+            cls_ws.append(cw)
+        cat = lambda xs: jnp.concatenate(xs, axis=-1)  # noqa: E731
+        return (cat(offs), cat(off_ws), cat(labels_1h), cat(cls_ws))
+
+    def decode(self, proposals, pred, max_shape=None):
+        cls_preds, offset_preds = pred
+        shp = proposals.shape[:-1]
+        bw, bh, l, r, t, d = self._buckets(proposals)
+        cls4 = cls_preds.reshape(*shp, 4, self.side_num)
+        off4 = offset_preds.reshape(*shp, 4, self.side_num)
+        scores = jax.nn.softmax(cls4, axis=-1)
+        top2, lab2 = jax.lax.top_k(scores, 2)
+        best = lab2[..., 0]                                # (..., 4)
+        buckets = jnp.stack([
+            jnp.take_along_axis(b, best[..., i:i + 1], -1)[..., 0]
+            for i, b in enumerate((l, r, t, d))], -1)      # (..., 4)
+        best_off = jnp.take_along_axis(off4, best[..., None], -1)[..., 0]
+        x1 = buckets[..., 0] - best_off[..., 0] * bw
+        x2 = buckets[..., 1] - best_off[..., 1] * bw
+        y1 = buckets[..., 2] - best_off[..., 2] * bh
+        y2 = buckets[..., 3] - best_off[..., 3] * bh
+        if self.clip_border and max_shape is not None:
+            hh, ww = max_shape[..., 0], max_shape[..., 1]
+            x1 = jnp.clip(x1, 0, ww - 1)
+            x2 = jnp.clip(x2, 0, ww - 1)
+            y1 = jnp.clip(y1, 0, hh - 1)
+            y2 = jnp.clip(y2, 0, hh - 1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        # bucketing-guided rescoring
+        conf = top2[..., 0] + top2[..., 1] * \
+            (jnp.abs(lab2[..., 0] - lab2[..., 1]) == 1).astype(top2.dtype)
+        return boxes, conf.mean(axis=-1)

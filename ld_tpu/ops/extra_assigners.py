@@ -167,3 +167,35 @@ class CenterRegionAssigner:
             max_overlaps=overlaps,
             labels=labels.astype(jnp.int32),
             pos_mask=pos)
+
+
+@ASSIGNERS.register_module()
+class ApproxMaxIoUAssigner:
+    """Max-IoU assignment where each square anchor is represented by the
+    best IoU among its `approxs_per_octave` approx anchors.
+
+    Parity: /root/reference/mmdet/core/bbox/assigners/approx_max_iou_assigner.py
+    (SABL / guided anchoring): overlaps(square_i, gt) =
+    max_k IoU(approx_{i,k}, gt), then standard MaxIoU thresholds.
+    """
+
+    def __init__(self, pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
+                 gt_max_assign_all=True, ignore_iof_thr=-1,
+                 match_low_quality=True, **kwargs):
+        from .max_iou_assigner import MaxIoUAssigner
+        self._base = MaxIoUAssigner(
+            pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+            min_pos_iou=min_pos_iou, gt_max_assign_all=gt_max_assign_all,
+            match_low_quality=match_low_quality)
+
+    def assign(self, squares, num_level_anchors, gt_bboxes, gt_labels,
+               gt_valid, valid_mask=None, num_classes=80, approxs=None):
+        """approxs: (N, K, 4) approx anchors per square; None -> plain IoU."""
+        overlaps = None
+        if approxs is not None:
+            n, k, _ = approxs.shape
+            all_iou = bbox_overlaps(approxs.reshape(n * k, 4), gt_bboxes)
+            overlaps = all_iou.reshape(n, k, -1).max(axis=1)
+        return self._base.assign(squares, num_level_anchors, gt_bboxes,
+                                 gt_labels, gt_valid, valid_mask,
+                                 num_classes, overlaps=overlaps)

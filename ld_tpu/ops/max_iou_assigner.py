@@ -38,11 +38,14 @@ class MaxIoUAssigner:
                gt_labels: jnp.ndarray,
                gt_valid: jnp.ndarray,
                valid_mask: jnp.ndarray = None,
-               num_classes: int = 80) -> AssignResult:
+               num_classes: int = 80,
+               overlaps: jnp.ndarray = None) -> AssignResult:
+        """`overlaps` overrides the (N, G) IoU matrix (ApproxMaxIoU path)."""
         num_anchors = bboxes.shape[0]
         if valid_mask is None:
             valid_mask = jnp.ones((num_anchors, ), bool)
-        overlaps = bbox_overlaps(bboxes, gt_bboxes)              # (N, G)
+        if overlaps is None:
+            overlaps = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
         overlaps = jnp.where(gt_valid[None, :] & valid_mask[:, None],
                              overlaps, -1.0)
 

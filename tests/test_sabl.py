@@ -1,0 +1,86 @@
+"""SABL: bucketing coder round-trip + SABLRetinaHead integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ld_tpu  # noqa: F401
+from ld_tpu.models import build_detector
+from ld_tpu.ops.coder import build_coder
+from ld_tpu.ops.extra_assigners import ApproxMaxIoUAssigner
+
+
+def test_bucketing_coder_roundtrip():
+    c = build_coder(dict(type='BucketingBBoxCoder', num_buckets=14,
+                         scale_factor=1.7))
+    p = jnp.asarray([[10., 10., 50., 60.], [0., 0., 30., 30.]])
+    g = jnp.asarray([[12., 8., 48., 64.], [2., 1., 28., 33.]])
+    offs, off_w, lab, cls_w = c.encode(p, g)
+    assert offs.shape == (2, 28) and lab.shape == (2, 28)
+    # exactly one label bucket per side
+    assert np.allclose(np.asarray(lab).reshape(2, 4, 7).sum(-1), 1.0)
+    # offset weights cover at most offset_topk buckets per side
+    assert (np.asarray(off_w).reshape(2, 4, 7).sum(-1) <= 2 + 1e-6).all()
+    # perfect predictions reconstruct the gt box
+    cls_logits = lab * 20.0
+    best = lab.reshape(2, 4, 7).argmax(-1)
+    off_sel = jnp.take_along_axis(offs.reshape(2, 4, 7), best[..., None], -1)
+    full_off = (lab.reshape(2, 4, 7) * off_sel).reshape(2, 28)
+    boxes, conf = c.decode(p, (cls_logits, full_off))
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(g), atol=1e-4)
+    assert np.asarray(conf).min() > 0.9
+
+
+def test_approx_max_iou_assigner():
+    a = ApproxMaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4)
+    squares = jnp.asarray([[0., 0., 10., 10.], [20., 20., 40., 40.]])
+    # square 0's approx set contains a perfect match for the gt
+    approxs = jnp.stack([
+        jnp.asarray([[0., 0., 10., 10.], [5., 5., 25., 25.]]),
+        jnp.asarray([[20., 20., 40., 40.], [20., 20., 40., 40.]]),
+    ])
+    gtb = jnp.asarray([[5., 5., 25., 25.]])
+    res = a.assign(squares, [2], gtb, jnp.asarray([3]),
+                   jnp.asarray([True]), num_classes=6, approxs=approxs)
+    assert bool(res.pos_mask[0])          # matched via its approx
+    assert int(res.labels[0]) == 3
+
+
+def test_sabl_retina_head_train_and_infer():
+    rs = np.random.RandomState(0)
+    B, G = 2, 4
+    gt = np.zeros((B, G, 4), np.float32)
+    gt[:, 0] = [8, 8, 40, 48]
+    gt[:, 1] = [20, 16, 80, 60]
+    valid = np.zeros((B, G), bool)
+    valid[:, :2] = True
+    batch = dict(
+        image=jnp.asarray(rs.randn(B, 64, 96, 3).astype(np.float32)),
+        gt_bboxes=jnp.asarray(gt), gt_labels=jnp.zeros((B, G), np.int32),
+        gt_valid=jnp.asarray(valid), img_hw=jnp.asarray([[64., 96.]] * B))
+    cfg = dict(
+        type='RetinaNet',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(
+            type='SABLRetinaHead', num_classes=6, in_channels=32,
+            stacked_convs=1, feat_channels=32,
+            approx_anchor_generator=dict(
+                octave_base_scale=4, scales_per_octave=3,
+                ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128]),
+            square_anchor_generator=dict(
+                ratios=[1.0], scales=[4], strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='BucketingBBoxCoder', num_buckets=14,
+                            scale_factor=3.0)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=10))
+    det = build_detector(cfg)
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    losses = det.forward_train(v, batch)
+    assert set(losses) == {'loss_cls', 'loss_bbox_cls', 'loss_bbox_reg'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+    assert float(losses['loss_bbox_reg']) > 0
+    d, _, _ = det.forward_test(v, batch)
+    assert d.shape == (2, 10, 5)
