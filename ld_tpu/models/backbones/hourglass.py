@@ -5,8 +5,11 @@ recursive hourglass modules over BasicBlocks (up1 + nearest-upsampled low3),
 7x7/2 + stride-2 ResLayer stem, inter-stack remap (1x1 convs summed, relu,
 inter ResLayer), one 3x3 out conv per stack; returns per-stack feature maps.
 The low3 ResLayer changes channels in its LAST block
-(`downsample_first=False`). BN runs live (the reference trains CornerNet
-from scratch, `requires_grad=True`), so set `norm_eval=False` when training.
+(`downsample_first=False`). The reference trains CornerNet from scratch
+with live BN; here BN defaults to frozen running statistics (affine still
+trainable) like every other backbone in this framework — pass
+norm_eval=False AND thread a mutable 'batch_stats' collection to train
+with live BN.
 """
 from __future__ import annotations
 
@@ -30,7 +33,7 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     act: bool = True
-    norm_eval: bool = False
+    norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,7 +53,7 @@ class ResLayer(nn.Module):
     num_blocks: int
     stride: int = 1
     downsample_first: bool = True
-    norm_eval: bool = False
+    norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +77,7 @@ class HourglassModule(nn.Module):
     depth: int
     stage_channels: Tuple[int, ...]
     stage_blocks: Tuple[int, ...]
-    norm_eval: bool = False
+    norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,7 +110,7 @@ class HourglassNet(nn.Module):
     stage_channels: Tuple[int, ...] = (256, 256, 384, 384, 384, 512)
     stage_blocks: Tuple[int, ...] = (2, 2, 2, 2, 2, 4)
     feat_channel: int = 256
-    norm_eval: bool = False
+    norm_eval: bool = True
     norm_cfg: dict = None
     dtype: jnp.dtype = jnp.float32
 

@@ -89,6 +89,7 @@ class SingleStageDetector:
 # thin named wrappers so reference config `type=` strings resolve 1:1
 # (/root/reference/mmdet/models/detectors/{gfl,atss,fcos,retinanet,paa,...}.py)
 for _name in ('GFL', 'ATSS', 'FCOS', 'RetinaNet', 'SSD', 'FoveaBox', 'FSAF', 'PAA',
-              'VFNet', 'YOLOV3', 'NASFCOS', 'RepPointsDetector'):
+              'VFNet', 'YOLOV3', 'NASFCOS', 'RepPointsDetector', 'TOOD',
+              'DETR', 'CornerNet', 'SOLO'):
     DETECTORS.register_module(name=_name, module=type(
         _name, (SingleStageDetector, ), {}))

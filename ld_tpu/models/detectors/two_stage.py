@@ -64,8 +64,9 @@ class TwoStageDetector:
     def init_variables(self, rng, input_shape=(1, 64, 64, 3)) -> Dict:
         r1, r2 = jax.random.split(rng)
         backbone_vars = self.net.init(r1, jnp.zeros(input_shape))
-        # ROI nets initialized with dummy roi batches
-        c = 256
+        # ROI nets initialized with dummy roi batches (channel count from
+        # the neck; 256 is the mmdet default when there is no neck)
+        c = getattr(self.neck, 'out_channels', 256) if self.neck else 256
         r2, r3 = jax.random.split(r2)
         if hasattr(self.roi_head, 'init_all_variables'):
             variables = dict(backbone_vars)
@@ -130,7 +131,9 @@ class TwoStageDetector:
     simple_test = forward_test
 
 
-for _name in ('FasterRCNN', 'MaskRCNN', 'CascadeRCNN'):
+for _name in ('FasterRCNN', 'MaskRCNN', 'CascadeRCNN', 'MaskScoringRCNN',
+              'DynamicRCNN', 'GridRCNN', 'DoubleHeadRCNN',
+              'HybridTaskCascade', 'SCNet', 'PointRend', 'FastRCNN'):
     DETECTORS.register_module(name=_name, module=type(
         _name, (TwoStageDetector, ), {}))
 

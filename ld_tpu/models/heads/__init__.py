@@ -19,6 +19,19 @@ from .fsaf_head import FSAFHead
 from .free_anchor_head import FreeAnchorRetinaHead
 from .sabl_retina_head import SABLRetinaHead, SABLRetinaHeadNet
 from .paa_head import PAAHead
+from .vfnet_head import VFNetHead, VFNetHeadNet
+from .reppoints_head import RepPointsHead, RepPointsHeadNet
+from .tood_head import TOODHead, TOODHeadNet
+from .detr_head import DETRHead, DETRHeadNet
+from .yolact_head import YOLACTHead, YOLACTHeadNet
+from .corner_head import CornerHead, CornerHeadNet
+from .solo_head import SOLOHead, SOLOHeadNet, DiceLoss, matrix_nms
+from .roi_variants import (DoubleHeadRoIHead, MaskScoringRoIHead,
+                           DynamicRoIHead, DoubleBBoxHeadNet,
+                           MaskIoUHeadNet)
+from .htc_roi_head import (HybridTaskCascadeRoIHead, HTCMaskNet,
+                           SemanticHeadNet)
+from .pisa_heads import PISARetinaHead, PISASSDHead
 
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
@@ -28,4 +41,11 @@ __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'YOLOV3HeadNet', 'YOLOV3Neck', 'CascadeRoIHead', 'RetinaHead', 'RetinaHeadNet', 'FCOSHead', 'ATSSHead', 'FCOSHeadNet',
            'ATSSHeadNet', 'FoveaHead', 'FoveaHeadNet', 'FSAFHead',
            'FreeAnchorRetinaHead', 'SABLRetinaHead', 'SABLRetinaHeadNet',
-           'PAAHead']
+           'PAAHead', 'VFNetHead', 'VFNetHeadNet', 'RepPointsHead',
+           'RepPointsHeadNet', 'TOODHead', 'TOODHeadNet', 'DETRHead',
+           'DETRHeadNet', 'YOLACTHead', 'YOLACTHeadNet', 'CornerHead',
+           'CornerHeadNet', 'SOLOHead', 'SOLOHeadNet', 'DiceLoss',
+           'matrix_nms', 'DoubleHeadRoIHead', 'MaskScoringRoIHead',
+           'DynamicRoIHead', 'DoubleBBoxHeadNet', 'MaskIoUHeadNet',
+           'HybridTaskCascadeRoIHead', 'HTCMaskNet', 'SemanticHeadNet',
+           'PISARetinaHead', 'PISASSDHead']

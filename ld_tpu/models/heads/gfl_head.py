@@ -48,8 +48,8 @@ class ConvGNBlock(nn.Module):
                     kernel_init=nn.initializers.normal(0.01))(x)
         # epsilon matches torch/mmcv GroupNorm (1e-5); the flax default 1e-6
         # visibly diverges on 1x1 feature maps where group variance is tiny
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features),
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -189,14 +189,15 @@ class GFLHead:
                                        num_classes=self.num_classes)
             safe = jnp.clip(res.assigned_gt_inds, 0)
             bbox_targets = jnp.where(res.pos_mask[:, None], gtb[safe], 0.0)
-            return res.labels, res.pos_mask, bbox_targets, vf
+            return (res.labels, res.pos_mask, bbox_targets, vf,
+                    res.assigned_gt_inds)
 
-        labels, pos_mask, bbox_targets, valid = jax.vmap(single)(
+        labels, pos_mask, bbox_targets, valid, gt_inds = jax.vmap(single)(
             gt_bboxes, gt_labels, gt_valid, img_hw)
         return dict(labels=labels, pos_mask=pos_mask,
                     bbox_targets=bbox_targets, anchor_valid=valid,
                     anchors=anchors, strides=strides, level_id=level_id,
-                    num_level_anchors=num_lvl)
+                    num_level_anchors=num_lvl, assigned_gt_inds=gt_inds)
 
     # ---- loss ---------------------------------------------------------------
     def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:

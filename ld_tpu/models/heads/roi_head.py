@@ -128,7 +128,9 @@ class StandardRoIHead:
         rank_keys = jnp.where(pos_sel, 2.0, jnp.where(neg_sel, 1.0, 0.0)) + \
             jax.random.uniform(jax.random.fold_in(rng, 7),
                                sel.shape) * 0.5
-        _, order = jax.lax.top_k(rank_keys, self.num_samples)
+        _, order = jax.lax.top_k(rank_keys,
+                                 min(self.num_samples,
+                                     rank_keys.shape[0]))
         rois = proposals[order]
         roi_valid = sel[order]
         roi_pos = pos_sel[order]

@@ -90,7 +90,10 @@ def distribution_focal_loss(pred: jnp.ndarray, label: jnp.ndarray):
 @LOSSES.register_module()
 class QualityFocalLoss:
     def __init__(self, use_sigmoid=True, beta=2.0, reduction='mean',
-                 loss_weight=1.0):
+                 loss_weight=1.0, activated=False):
+        # `activated`: inputs are probabilities (TOOD's aligned scores);
+        # the TOOD head computes its activated-form QFL inline.
+        self.activated = activated
         self.use_sigmoid = use_sigmoid
         self.beta = beta
         self.reduction = reduction

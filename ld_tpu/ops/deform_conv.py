@@ -115,3 +115,53 @@ class ModulatedDeformConv(nn.Module):
             out = out + self.param('bias', nn.initializers.zeros,
                                    (self.features, ), self.dtype)
         return out.astype(x.dtype)
+
+
+class DeformConv(nn.Module):
+    """DCNv1 with EXTERNALLY supplied offsets (VFNet star DCN, RepPoints).
+
+    `offset` is NHWC (B, H, W, 2*k*k) with (dy, dx) pairs per tap in mmcv
+    channel order (y first), ADDED to the regular kernel tap positions.
+    No modulation mask; zero offsets reduce to a plain 3x3 conv.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset):
+        k = self.kernel_size
+        pad = (k // 2) * self.dilation
+        b, h, w, cin = x.shape
+        oh = (h + 2 * pad - self.dilation * (k - 1) - 1) // self.stride + 1
+        ow = (w + 2 * pad - self.dilation * (k - 1) - 1) // self.stride + 1
+        off = offset.astype(jnp.float32).reshape(b, oh, ow, k * k, 2)
+        off_y = off[..., 0]
+        off_x = off[..., 1]
+
+        py = jnp.arange(oh, dtype=jnp.float32) * self.stride - pad
+        px = jnp.arange(ow, dtype=jnp.float32) * self.stride - pad
+        ky = jnp.repeat(jnp.arange(k, dtype=jnp.float32) * self.dilation, k)
+        kx = jnp.tile(jnp.arange(k, dtype=jnp.float32) * self.dilation, k)
+        base_y = py[:, None, None] + ky[None, None, :]
+        base_x = px[None, :, None] + kx[None, None, :]
+
+        weight = self.param('kernel', nn.initializers.he_normal(),
+                            (k * k * cin, self.features), self.dtype)
+
+        def per_image(xi, oy, ox):
+            ys = (base_y + oy).reshape(-1)
+            xs = (base_x + ox).reshape(-1)
+            sampled = _bilinear_gather(xi, ys, xs)
+            col = sampled.reshape(oh * ow, k * k * cin)
+            return col @ weight.astype(jnp.float32)
+
+        out = jax.vmap(per_image)(x.astype(jnp.float32), off_y, off_x)
+        out = out.reshape(b, oh, ow, self.features)
+        if self.use_bias:
+            out = out + self.param('bias', nn.initializers.zeros,
+                                   (self.features, ), self.dtype)
+        return out.astype(x.dtype)

@@ -30,14 +30,16 @@ class HungarianAssigner:
 
     def assign(self, pred_boxes, pred_logits, gt_bboxes, gt_labels,
                gt_valid, img_hw, num_classes=80) -> AssignResult:
-        """One-to-one matching for ONE image (host-side scipy LAP on the
-        jnp-computed cost matrix; call outside jit).
+        """One-to-one matching for ONE image — fully on device.
+
+        The reference solves this with scipy on host
+        (hungarian_assigner.py); here the exact Jonker-Volgenant solver in
+        ops/matching.py runs inside jit (rows = padded gts, cols = queries).
 
         pred_boxes: (Q, 4) xyxy absolute; pred_logits: (Q, C).
         """
-        from scipy.optimize import linear_sum_assignment
+        from .matching import hungarian_lap
         q = pred_boxes.shape[0]
-        g = gt_bboxes.shape[0]
         probs = jax.nn.softmax(pred_logits, axis=-1)
         cls_cost = -probs[:, jnp.clip(gt_labels, 0, num_classes - 1)]
         scale = jnp.asarray([img_hw[1], img_hw[0], img_hw[1], img_hw[0]])
@@ -45,25 +47,24 @@ class HungarianAssigner:
                            (gt_bboxes / scale)[None, :, :]).sum(-1)
         iou_cost = -bbox_overlaps(pred_boxes, gt_bboxes, mode='giou')
         cost = (self.cls_w * cls_cost + self.reg_w * reg_cost +
-                self.iou_w * iou_cost)
-        cost = np.asarray(jnp.where(gt_valid[None, :], cost, 1e6))
-        rows, cols = linear_sum_assignment(cost)
-        assigned = np.full(q, -1, np.int32)
-        valid_np = np.asarray(gt_valid)
-        for r, c in zip(rows, cols):
-            if valid_np[c]:
-                assigned[r] = c
-        pos = assigned >= 0
-        labels = np.where(pos, np.asarray(gt_labels)[np.maximum(assigned, 0)],
-                          num_classes)
-        ious = np.asarray(bbox_overlaps(pred_boxes, gt_bboxes))
-        max_overlaps = np.where(pos, ious[np.arange(q),
-                                          np.maximum(assigned, 0)], 0.0)
+                self.iou_w * iou_cost)                        # (Q, G)
+        col = hungarian_lap(cost.T, gt_valid)                 # (G,) query ix
+        hit = (col[None, :] == jnp.arange(q)[:, None]) & \
+            (col >= 0)[None, :]                               # (Q, G)
+        pos = hit.any(axis=1)
+        assigned = jnp.where(pos, hit.argmax(axis=1), -1)
+        labels = jnp.where(pos, gt_labels[jnp.clip(assigned, 0)],
+                           num_classes)
+        ious = bbox_overlaps(pred_boxes, gt_bboxes)
+        max_overlaps = jnp.where(
+            pos,
+            jnp.take_along_axis(ious, jnp.clip(assigned, 0)[:, None],
+                                1)[:, 0], 0.0)
         return AssignResult(
-            assigned_gt_inds=jnp.asarray(assigned),
-            max_overlaps=jnp.asarray(max_overlaps.astype(np.float32)),
-            labels=jnp.asarray(labels.astype(np.int32)),
-            pos_mask=jnp.asarray(pos))
+            assigned_gt_inds=assigned.astype(jnp.int32),
+            max_overlaps=max_overlaps.astype(jnp.float32),
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos)
 
 
 @ASSIGNERS.register_module()
@@ -199,3 +200,97 @@ class ApproxMaxIoUAssigner:
         return self._base.assign(squares, num_level_anchors, gt_bboxes,
                                  gt_labels, gt_valid, valid_mask,
                                  num_classes, overlaps=overlaps)
+
+
+@ASSIGNERS.register_module()
+class TaskAlignedAssigner:
+    """TOOD's task-aligned assignment.
+
+    alignment metric t = cls_prob[gt_label]^alpha * IoU(pred, gt)^beta;
+    each gt takes its topk candidates (centers inside the gt); an anchor
+    claimed by several gts goes to the one with the highest IoU. NOTE: the
+    reference bundles tood_head.py but ships NO task_aligned_assigner — its
+    TOOD head cannot run there; this is the assigner that head describes.
+    """
+
+    def __init__(self, topk=13, alpha=1.0, beta=6.0, **kwargs):
+        self.topk = topk
+        self.alpha = alpha
+        self.beta = beta
+
+    def assign(self, pred_scores, decoded_bboxes, anchors, gt_bboxes,
+               gt_labels, gt_valid, valid_mask=None, num_classes=80):
+        """pred_scores (N, C) activated probs; decoded_bboxes (N, 4)."""
+        n = anchors.shape[0]
+        if valid_mask is None:
+            valid_mask = jnp.ones((n, ), bool)
+        iou = bbox_overlaps(decoded_bboxes, gt_bboxes)        # (N, G)
+        cls_g = pred_scores[:, jnp.clip(gt_labels, 0, None)]  # (N, G)
+        metric = cls_g**self.alpha * iou**self.beta
+        cx = (anchors[:, 0] + anchors[:, 2]) / 2
+        cy = (anchors[:, 1] + anchors[:, 3]) / 2
+        inside = (cx[:, None] > gt_bboxes[None, :, 0]) & \
+            (cx[:, None] < gt_bboxes[None, :, 2]) & \
+            (cy[:, None] > gt_bboxes[None, :, 1]) & \
+            (cy[:, None] < gt_bboxes[None, :, 3])
+        ok = inside & gt_valid[None, :] & valid_mask[:, None]
+        metric = jnp.where(ok, metric, -1.0)
+        # per-gt topk by metric
+        k = min(self.topk, n)
+        _, idx = jax.lax.top_k(metric.T, k)                   # (G, k)
+        cand = jnp.zeros((n, metric.shape[1]), bool).at[
+            idx.reshape(-1),
+            jnp.repeat(jnp.arange(metric.shape[1]), k)].set(True)
+        cand = cand & (metric > 0)
+        # conflicts -> gt with max IoU
+        iou_m = jnp.where(cand, iou, -1.0)
+        best = iou_m.argmax(axis=1)
+        pos = iou_m.max(axis=1) > 0
+        labels = jnp.where(pos, gt_labels[best], num_classes)
+        align = jnp.where(cand, metric, 0.0)
+        return AssignResult(
+            assigned_gt_inds=jnp.where(pos, best, -1).astype(jnp.int32),
+            max_overlaps=jnp.where(pos, iou_m.max(axis=1), 0.0),
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos), align
+
+
+@ASSIGNERS.register_module()
+class GridAssigner:
+    """YOLO grid assignment: MaxIoU thresholds restricted to the anchors of
+    the gt's responsible cell. Parity:
+    /root/reference/mmdet/core/bbox/assigners/grid_assigner.py."""
+
+    def __init__(self, pos_iou_thr=0.5, neg_iou_thr=0.3, min_pos_iou=0.0,
+                 gt_max_assign_all=True, **kwargs):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+
+    def assign(self, bboxes, box_responsible_flags, gt_bboxes, gt_labels,
+               gt_valid, num_classes=80):
+        """box_responsible_flags: (N, G) bool — anchor responsible for gt."""
+        overlaps = bbox_overlaps(bboxes, gt_bboxes)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+        resp = box_responsible_flags & gt_valid[None, :]
+        ov_resp = jnp.where(resp, overlaps, -1.0)
+        max_ov = ov_resp.max(axis=1)
+        argmax = ov_resp.argmax(axis=1)
+        pos = max_ov >= self.pos_iou_thr
+        # each gt claims its best responsible anchor
+        gt_best = ov_resp.max(axis=0)
+        claim_ok = (gt_best >= self.min_pos_iou) & gt_valid
+        is_best = (ov_resp == gt_best[None, :]) & claim_ok[None, :] & resp \
+            & (ov_resp > -0.5)
+        claimed = is_best.any(axis=1)
+        claim_gt = jnp.where(is_best, jnp.arange(overlaps.shape[1])[None, :],
+                             -1).max(axis=1)
+        argmax = jnp.where(claimed, claim_gt, argmax)
+        pos = pos | claimed
+        labels = jnp.where(pos, gt_labels[jnp.clip(argmax, 0)], num_classes)
+        return AssignResult(
+            assigned_gt_inds=jnp.where(pos, argmax, -1).astype(jnp.int32),
+            max_overlaps=jnp.where(pos, max_ov, 0.0),
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos)
