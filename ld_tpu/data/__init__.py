@@ -12,6 +12,8 @@ from .transforms import (FusedPreprocess, RandomCrop, Expand,
 
 from . import corruptions  # noqa: F401 — registers Corrupt
 from . import auto_augment  # noqa: F401 — registers Shear/Rotate/...
+from .extra_datasets import (CityscapesDataset, DeepFashionDataset,
+                             WIDERFaceDataset)
 from ld_tpu.utils.registry import DATASETS
 
 
@@ -26,5 +28,6 @@ __all__ = [
     'COCO_CLASSES', 'DataLoader', 'GroupBatchSampler', 'build_dataloader',
     'build_dataset', 'VOCDataset', 'ConcatDataset', 'RepeatDataset',
     'ClassBalancedDataset', 'FusedPreprocess', 'RandomCrop', 'Expand',
-    'MinIoURandomCrop', 'CutOut', 'LVISV1Dataset'
+    'MinIoURandomCrop', 'CutOut', 'LVISV1Dataset', 'CityscapesDataset',
+    'DeepFashionDataset', 'WIDERFaceDataset'
 ]

@@ -544,3 +544,69 @@ def collate_batch(samples: List[Dict], pad_hw: Tuple[int, int],
                     canvas, (mw, mh), interpolation=cv2.INTER_NEAREST)
         out['gt_masks'] = gt_masks
     return out
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Albumentations bridge (mmdet pipelines/transforms.py:1192).
+
+    The albumentations package is an optional dependency (not bundled on
+    this image); construction is gated with a clear error so configs that
+    reference it fail loudly rather than silently skipping augmentation.
+    """
+
+    def __init__(self, transforms, bbox_params=None, keymap=None,
+                 update_pad_shape=False, skip_img_without_anno=False):
+        try:
+            import albumentations  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'Albu requires the optional `albumentations` package; '
+                'install it or drop the Albu transform from the pipeline.'
+            ) from e
+        from albumentations import Compose as ACompose
+        self.keymap = keymap or dict(img='image', gt_bboxes='bboxes')
+        self.aug = ACompose([self._build(t) for t in transforms],
+                            bbox_params=bbox_params)
+
+    @staticmethod
+    def _build(cfg):
+        import albumentations
+        cfg = dict(cfg)
+        t = getattr(albumentations, cfg.pop('type'))
+        return t(**cfg)
+
+    def __call__(self, results):
+        mapped = {self.keymap.get(k, k): v for k, v in results.items()
+                  if k in self.keymap}
+        out = self.aug(**mapped)
+        inv = {v: k for k, v in self.keymap.items()}
+        results.update({inv.get(k, k): v for k, v in out.items()})
+        return results
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """InstaBoost bridge (mmdet pipelines/instaboost.py) — gated on the
+    optional `instaboostfast` package, same policy as Albu."""
+
+    def __init__(self, **kwargs):
+        try:
+            import instaboostfast  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'InstaBoost requires the optional `instaboostfast` '
+                'package.') from e
+        import instaboostfast
+        self.cfg = instaboostfast.InstaBoostConfig(**kwargs) \
+            if kwargs else None
+
+    def __call__(self, results):
+        import instaboostfast
+        anns = results.get('ann_info')
+        img = results['img']
+        anns, img = instaboostfast.get_new_data(anns, img, self.cfg,
+                                                background=None)
+        results['ann_info'] = anns
+        results['img'] = img
+        return results

@@ -231,3 +231,83 @@ class SegmEvaluator:
             'segm_mAP_m': summ(area='medium'),
             'segm_mAP_l': summ(area='large'),
         }
+
+
+# ---- RLE encoding (parity: pycocotools mask.encode / mmdet
+# encode_mask_results) -------------------------------------------------------
+def rle_encode(mask):
+    """COCO compressed RLE of a binary mask (H, W) -> dict(size, counts).
+
+    Column-major (Fortran) run lengths starting with a 0-run, compressed
+    with the pycocotools LEB128-style byte scheme — byte-identical to
+    pycocotools' `encode` so external tooling can consume the output.
+    """
+    import numpy as np
+    m = np.asfortranarray(np.asarray(mask, dtype=np.uint8))
+    h, w = m.shape
+    flat = m.flatten(order='F')
+    # run lengths, first run counts zeros
+    diffs = np.nonzero(np.diff(flat))[0]
+    bounds = np.concatenate([[0], diffs + 1, [flat.size]])
+    runs = np.diff(bounds).tolist()
+    if flat.size == 0:
+        runs = []
+    elif flat[0] == 1:
+        runs = [0] + runs
+    # pycocotools compression: difference-code runs from the 3rd entry on,
+    # then variable-length base-32(ish) with 5 data bits + continuation
+    out = bytearray()
+    for i, run in enumerate(runs):
+        x = int(run)
+        if i > 2:
+            x -= int(runs[i - 2])
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = not ((x == 0 and not (c & 0x10)) or
+                        (x == -1 and (c & 0x10)))
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return dict(size=[h, w], counts=bytes(out))
+
+
+def rle_decode(rle):
+    """Inverse of `rle_encode` (accepts pycocotools-compatible dicts)."""
+    import numpy as np
+    h, w = rle['size']
+    s = rle['counts']
+    if isinstance(s, str):
+        s = s.encode()
+    runs = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * (k + 1))
+            k += 1
+        if len(runs) > 2:
+            x += runs[-2]
+        runs.append(x)
+    flat = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for run in runs:
+        flat[pos:pos + run] = val
+        pos += run
+        val = 1 - val
+    return flat.reshape((h, w), order='F')
+
+
+def encode_mask_results(mask_results):
+    """Per-class list of binary masks -> per-class list of RLEs
+    (mmdet/core/mask/utils.py encode_mask_results)."""
+    return [[rle_encode(m) for m in cls_masks] for cls_masks in mask_results]

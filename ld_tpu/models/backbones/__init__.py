@@ -1,7 +1,7 @@
 from .ssd_vgg import SSDVGG, L2Norm
 from .darknet import Darknet, ConvBNLeaky
 from .resnet import (ResNet, ResNeXt, ResNetV1d, BasicBlock, Bottleneck,
-                     BatchNorm)
+                     BatchNorm, SAConv, DetectoRS_ResNet, TridentResNet)
 from .regnet import RegNet
 from .res2net import Res2Net
 from .hrnet import HRNet
@@ -9,4 +9,5 @@ from .hourglass import HourglassNet
 
 __all__ = ['ResNet', 'ResNeXt', 'ResNetV1d', 'BasicBlock', 'Bottleneck',
            'BatchNorm', 'SSDVGG', 'L2Norm', 'Darknet', 'ConvBNLeaky',
-           'RegNet', 'Res2Net', 'HRNet', 'HourglassNet']
+           'RegNet', 'Res2Net', 'HRNet', 'HourglassNet', 'SAConv',
+           'DetectoRS_ResNet', 'TridentResNet']

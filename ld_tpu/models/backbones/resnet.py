@@ -95,6 +95,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     avg_down: bool = False
     with_dcn: bool = False   # DCNv2 on the 3x3 (teacher backbones)
+    with_sac: bool = False   # Switchable Atrous Conv (DetectoRS)
     dcn_deform_groups: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
@@ -111,7 +112,10 @@ class Bottleneck(nn.Module):
                         dtype=self.dtype)(out, train)
         out = nn.relu(out)
         # 'pytorch' style: spatial stride on the (possibly grouped) 3x3
-        if self.with_dcn:
+        if self.with_sac:
+            out = SAConv(width, stride=self.stride, dtype=self.dtype,
+                         name='conv2')(out)
+        elif self.with_dcn:
             from ld_tpu.ops.deform_conv import ModulatedDeformConv
             out = ModulatedDeformConv(
                 width, kernel_size=3, stride=self.stride,
@@ -166,6 +170,8 @@ class ResNet(nn.Module):
     base_width: int = 64
     dcn: dict = None            # e.g. dict(type='DCNv2', deform_groups=1)
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    sac: dict = None            # dict() enables SAConv (DetectoRS)
+    stage_with_sac: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,6 +222,10 @@ class ResNet(nn.Module):
                         kwargs['with_dcn'] = True
                         kwargs['dcn_deform_groups'] = self.dcn.get(
                             'deform_groups', 1)
+                    if getattr(self, 'sac', None) is not None and \
+                            getattr(self, 'stage_with_sac',
+                                    (False,) * 4)[stage]:
+                        kwargs['with_sac'] = True
                 x = block_cls(**kwargs)(x, train)
             in_planes = planes * getattr(block_cls, 'expansion', 1)
             if stage + 1 <= self.frozen_stages:
@@ -251,3 +261,156 @@ class ResNetV1d(ResNet):
     /root/reference/mmdet/models/backbones/resnet.py:652."""
     deep_stem: bool = True
     avg_down: bool = True
+
+
+class SAConv(nn.Module):
+    """Switchable Atrous Convolution (DetectoRS, mmcv ops/saconv.py):
+    shared 3x3 weights evaluated at dilation 1 and dilation 3, blended by
+    a per-position switch S = sigmoid(conv(avg5x5(x))); pre/post 1x1
+    context convs add global context. S starts at 0.5 (zero-init switch).
+    """
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = x.mean(axis=(1, 2), keepdims=True)
+        x = x + nn.Conv(x.shape[-1], (1, 1), name='pre_context',
+                        kernel_init=nn.initializers.zeros,
+                        dtype=self.dtype)(g)
+        avg = nn.avg_pool(x, (5, 5), strides=(1, 1), padding=[(2, 2)] * 2)
+        switch = jax.nn.sigmoid(nn.Conv(
+            1, (1, 1), kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name='switch',
+            dtype=self.dtype)(avg))
+        weight = self.param('kernel', nn.initializers.he_normal(),
+                            (3, 3, x.shape[-1], self.features), self.dtype)
+        dn = ('NHWC', 'HWIO', 'NHWC')
+        s = (self.stride, self.stride)
+        out1 = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), weight.astype(jnp.float32), s,
+            [(1, 1)] * 2, rhs_dilation=(1, 1), dimension_numbers=dn)
+        out3 = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), weight.astype(jnp.float32), s,
+            [(3, 3)] * 2, rhs_dilation=(3, 3), dimension_numbers=dn)
+        if self.stride > 1:
+            switch = switch[:, ::self.stride, ::self.stride]
+        out = switch * out1 + (1 - switch) * out3
+        g2 = out.mean(axis=(1, 2), keepdims=True)
+        out = out + nn.Conv(self.features, (1, 1), name='post_context',
+                            kernel_init=nn.initializers.zeros,
+                            dtype=self.dtype)(g2)
+        return out.astype(x.dtype)
+
+
+@BACKBONES.register_module()
+class DetectoRS_ResNet(ResNet):
+    """ResNet whose bottleneck 3x3s are Switchable Atrous Convs on the
+    configured stages (detectors_resnet.py:205). Pair with the RFP neck
+    for the DetectoRS recipe."""
+    sac: dict = None
+    stage_with_sac: Tuple[bool, ...] = (False, True, True, True)
+
+
+class TridentBottleneck(nn.Module):
+    """Bottleneck whose 3x3 runs per-branch dilations with SHARED weights;
+    input/output carry the branch axis folded into batch (3B, H, W, C)."""
+    filters: int
+    dilations: Tuple[int, ...] = (1, 2, 3)
+    stride: int = 1
+    downsample: bool = False
+    norm_eval: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nb = len(self.dilations)
+        identity = x
+        out = nn.Conv(self.filters, (1, 1), use_bias=False, name='conv1',
+                      dtype=self.dtype)(x)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+                        dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        weight = self.param('conv2_kernel', nn.initializers.he_normal(),
+                            (3, 3, self.filters, self.filters), self.dtype)
+        chunks = jnp.split(out, nb, axis=0)
+        dn = ('NHWC', 'HWIO', 'NHWC')
+        outs = []
+        for i, d in enumerate(self.dilations):
+            outs.append(jax.lax.conv_general_dilated(
+                chunks[i].astype(jnp.float32), weight.astype(jnp.float32),
+                (self.stride, self.stride), [(d, d)] * 2,
+                rhs_dilation=(d, d), dimension_numbers=dn))
+        out = jnp.concatenate(outs, axis=0).astype(x.dtype)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
+                        dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                      name='conv3', dtype=self.dtype)(out)
+        out = BatchNorm(use_running_average=self.norm_eval, name='norm3',
+                        dtype=self.dtype)(out, train)
+        if self.downsample:
+            identity = _shortcut(x, self.filters * 4, self.stride, False,
+                                 self.norm_eval, self.dtype, train)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register_module()
+class TridentResNet(ResNet):
+    """Trident ResNet (trident_resnet.py): the final stage runs three
+    weight-SHARED branches at dilations (1, 2, 3). TPU re-design: branches
+    fold into the batch axis (B -> 3B through the trident stage — exactly
+    the reference's train-time concat) so every op stays dense; slice the
+    `test_branch_idx` third at inference for the reference's single-branch
+    test mode."""
+    num_branch: int = 3
+    test_branch_idx: int = 1
+    trident_dilations: Tuple[int, ...] = (1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, name='conv1', dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+                      dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+        outs = []
+        in_planes = 64
+        last = len(stage_blocks) - 1
+        for stage, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2**stage
+            stride = self.strides[stage]
+            if stage == last:
+                # enter the trident stage: replicate along batch
+                x = jnp.tile(x, (self.num_branch, 1, 1, 1))
+                for b in range(num_blocks):
+                    s = stride if b == 0 else 1
+                    need_ds = b == 0 and (s != 1 or
+                                          in_planes != planes * 4)
+                    x = TridentBottleneck(
+                        planes, dilations=self.trident_dilations, stride=s,
+                        downsample=need_ds, norm_eval=self.norm_eval,
+                        dtype=self.dtype,
+                        name=f'layer{stage+1}_{b}')(x, train)
+            else:
+                for b in range(num_blocks):
+                    s = stride if b == 0 else 1
+                    exp = getattr(block_cls, 'expansion', 1)
+                    need_ds = b == 0 and (s != 1 or
+                                          in_planes != planes * exp)
+                    x = block_cls(planes, stride=s, downsample=need_ds,
+                                  norm_eval=self.norm_eval,
+                                  dtype=self.dtype,
+                                  name=f'layer{stage+1}_{b}')(x, train)
+            in_planes = planes * getattr(block_cls, 'expansion', 1)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

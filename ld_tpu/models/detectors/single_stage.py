@@ -90,6 +90,6 @@ class SingleStageDetector:
 # (/root/reference/mmdet/models/detectors/{gfl,atss,fcos,retinanet,paa,...}.py)
 for _name in ('GFL', 'ATSS', 'FCOS', 'RetinaNet', 'SSD', 'FoveaBox', 'FSAF', 'PAA',
               'VFNet', 'YOLOV3', 'NASFCOS', 'RepPointsDetector', 'TOOD',
-              'DETR', 'CornerNet', 'SOLO'):
+              'DETR', 'CornerNet', 'SOLO', 'CentripetalNet'):
     DETECTORS.register_module(name=_name, module=type(
         _name, (SingleStageDetector, ), {}))

@@ -30,8 +30,17 @@ from .roi_variants import (DoubleHeadRoIHead, MaskScoringRoIHead,
                            DynamicRoIHead, DoubleBBoxHeadNet,
                            MaskIoUHeadNet)
 from .htc_roi_head import (HybridTaskCascadeRoIHead, HTCMaskNet,
-                           SemanticHeadNet)
+                           SemanticHeadNet, SCNetRoIHead,
+                           GlobalContextNet)
 from .pisa_heads import PISARetinaHead, PISASSDHead
+from .guided_anchor_head import (GARetinaHead, GARPNHead, GARetinaHeadNet,
+                                 calc_region)
+from .cascade_rpn_head import (CascadeRPNHead, cascade_rpn_loss,
+                               cascade_rpn_proposals, anchor_offsets)
+from .centripetal_head import (CentripetalHead, CentripetalHeadNet,
+                               NASFCOSHead)
+from .grid_point_roi import (GridRoIHead, PointRendRoIHead, GridHeadNet,
+                             MaskPointHeadNet)
 
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
@@ -48,4 +57,10 @@ __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'matrix_nms', 'DoubleHeadRoIHead', 'MaskScoringRoIHead',
            'DynamicRoIHead', 'DoubleBBoxHeadNet', 'MaskIoUHeadNet',
            'HybridTaskCascadeRoIHead', 'HTCMaskNet', 'SemanticHeadNet',
-           'PISARetinaHead', 'PISASSDHead']
+           'SCNetRoIHead', 'GlobalContextNet',
+           'PISARetinaHead', 'PISASSDHead', 'GARetinaHead', 'GARPNHead',
+           'GARetinaHeadNet', 'calc_region', 'CascadeRPNHead',
+           'cascade_rpn_loss', 'cascade_rpn_proposals', 'anchor_offsets',
+           'CentripetalHead', 'CentripetalHeadNet', 'NASFCOSHead',
+           'GridRoIHead', 'PointRendRoIHead', 'GridHeadNet',
+           'MaskPointHeadNet']

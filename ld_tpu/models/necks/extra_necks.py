@@ -270,3 +270,159 @@ class FPN_CARAFE(nn.Module):
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return tuple(outs)
+
+
+@NECKS.register_module()
+class NASFCOS_FPN(nn.Module):
+    """NAS-FCOS searched FPN (reference necks/nasfcos_fpn.py): lateral 1x1
+    convs, then four searched merge cells (concat-conv over pairs of
+    levels resized to the coarser operand) producing the refreshed P3-P5,
+    extra levels via stride-2 convs on the output."""
+    in_channels: Sequence[int] = (512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    end_level: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        end = len(self.in_channels) if self.end_level in (-1, None) \
+            else self.end_level
+        lats = [
+            nn.Conv(self.out_channels, (1, 1), name=f'lateral{i}',
+                    dtype=self.dtype)(inputs[i])
+            for i in range(self.start_level, end)
+        ]
+
+        def cell(a, b, name):
+            h, w = b.shape[1:3]     # merge at the coarser operand's size
+            a = _resize_to(a, h, w)
+            x = jnp.concatenate([a, b], axis=-1)
+            x = nn.Conv(self.out_channels, (1, 1), name=f'{name}_conv',
+                        dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(32, self.out_channels),
+                             epsilon=1e-5, name=f'{name}_gn')(x)
+            return nn.relu(x)
+
+        p3, p4, p5 = lats[-3], lats[-2], lats[-1]
+        c4 = cell(p3, p4, 'cell0')
+        c5 = cell(c4, p5, 'cell1')
+        o4 = cell(p4, c4, 'cell2')
+        o3 = cell(o4, p3, 'cell3')
+        outs = [o3, o4, c5]
+        while len(outs) < self.num_outs:
+            outs.append(nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                padding=[(1, 1)] * 2,
+                                name=f'extra{len(outs)}',
+                                dtype=self.dtype)(outs[-1]))
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class FPG(nn.Module):
+    """Feature Pyramid Grids (reference necks/fpg.py): `stack_times`
+    columns of the pyramid grid; each cell fuses the same-level across
+    path, a stride-2 bottom-up path from the finer level and a nearest
+    top-down path from the coarser level (conv+GN each), relu at the end.
+    """
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 3
+    start_level: int = 0
+    end_level: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        end = len(self.in_channels) if self.end_level in (-1, None) \
+            else self.end_level
+        feats = [
+            nn.Conv(self.out_channels, (1, 1), name=f'lateral{i}',
+                    dtype=self.dtype)(inputs[i])
+            for i in range(self.start_level, end)
+        ]
+        while len(feats) < self.num_outs:
+            feats.append(nn.max_pool(feats[-1], (2, 2), strides=(2, 2)))
+
+        def convgn(x, name, stride=1):
+            x = nn.Conv(self.out_channels, (3, 3), strides=(stride, stride),
+                        padding=[(1, 1)] * 2, name=f'{name}_conv',
+                        dtype=self.dtype)(x)
+            return nn.GroupNorm(num_groups=min(32, self.out_channels),
+                                epsilon=1e-5, name=f'{name}_gn')(x)
+
+        for s in range(self.stack_times):
+            new = []
+            for l in range(len(feats)):
+                acc = convgn(feats[l], f's{s}_l{l}_across')
+                if l > 0:
+                    acc = acc + convgn(feats[l - 1], f's{s}_l{l}_up',
+                                       stride=2)
+                if l < len(feats) - 1:
+                    h, w = feats[l].shape[1:3]
+                    acc = acc + convgn(
+                        _upsample_nearest_to(feats[l + 1], h, w),
+                        f's{s}_l{l}_down')
+                new.append(nn.relu(acc))
+            feats = new
+        return tuple(feats)
+
+
+@NECKS.register_module()
+class RFP(nn.Module):
+    """Recursive Feature Pyramid (DetectoRS, reference necks/rfp.py).
+
+    The reference re-runs the WHOLE backbone with ASPP feedback per
+    recursion step — doubling backbone cost. TPU re-design: the recursion
+    keeps the published fusion semantics (ASPP on each output, residual
+    refreshed pyramid, sigmoid-gated fusion `rfp_weight`) but feeds the
+    ASPP context back through a per-level residual block instead of a
+    second backbone pass; the gate starts at 0 so step 0 output is exactly
+    the plain FPN (same init behaviour as the reference's zero-init gate).
+    """
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    rfp_steps: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        from .fpn import FPN
+        fpn = FPN(in_channels=self.in_channels,
+                  out_channels=self.out_channels, num_outs=self.num_outs,
+                  dtype=self.dtype, name='fpn')
+        outs = list(fpn(inputs, train))
+
+        def aspp(x, name):
+            # 4 branches: 1x1, two atrous 3x3, global pool (rfp ASPP)
+            b1 = nn.Conv(self.out_channels // 4, (1, 1),
+                         name=f'{name}_b1', dtype=self.dtype)(x)
+            b2 = nn.Conv(self.out_channels // 4, (3, 3),
+                         padding=[(3, 3)] * 2, kernel_dilation=(3, 3),
+                         name=f'{name}_b2', dtype=self.dtype)(x)
+            b3 = nn.Conv(self.out_channels // 4, (3, 3),
+                         padding=[(6, 6)] * 2, kernel_dilation=(6, 6),
+                         name=f'{name}_b3', dtype=self.dtype)(x)
+            g = x.mean(axis=(1, 2), keepdims=True)
+            b4 = jnp.broadcast_to(
+                nn.Conv(self.out_channels // 4, (1, 1), name=f'{name}_b4',
+                        dtype=self.dtype)(g),
+                (*x.shape[:3], self.out_channels // 4))
+            return nn.relu(jnp.concatenate([b1, b2, b3, b4], -1))
+
+        for step in range(1, self.rfp_steps):
+            for l in range(len(outs)):
+                ctx = aspp(outs[l], f'aspp_s{step}_l{l}')
+                ref = nn.Conv(self.out_channels, (3, 3),
+                              padding=[(1, 1)] * 2,
+                              name=f'refine_s{step}_l{l}',
+                              dtype=self.dtype)(ctx)
+                gate = jax.nn.sigmoid(nn.Conv(
+                    1, (1, 1), kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    name=f'gate_s{step}_l{l}', dtype=self.dtype)(outs[l]))
+                outs[l] = outs[l] * (1 - gate) + nn.relu(ref) * gate
+        return tuple(outs)

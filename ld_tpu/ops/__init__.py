@@ -1,6 +1,7 @@
 from .boxes import (bbox_overlaps, distance2bbox, bbox2distance,
                     anchor_center, bbox_flip)
-from .anchors import AnchorGenerator, PointGenerator
+from .anchors import (AnchorGenerator, PointGenerator,
+                      LegacyAnchorGenerator)
 from .integral import integral
 from .atss_assigner import ATSSAssigner, AssignResult
 from .max_iou_assigner import MaxIoUAssigner
@@ -9,7 +10,8 @@ from .extra_assigners import (HungarianAssigner, PointAssigner,
 
 __all__ = [
     'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
-    'bbox_flip', 'AnchorGenerator', 'PointGenerator', 'integral',
+    'bbox_flip', 'AnchorGenerator', 'PointGenerator',
+    'LegacyAnchorGenerator', 'integral',
     'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner', 'HungarianAssigner',
     'PointAssigner', 'CenterRegionAssigner'
 ]

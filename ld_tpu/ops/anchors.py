@@ -146,3 +146,24 @@ class PointGenerator:
         yy = np.repeat(shift_y, feat_w)
         s = np.full_like(xx, stride)
         return jnp.asarray(np.stack([xx, yy, s], axis=-1))
+
+
+class LegacyAnchorGenerator(AnchorGenerator):
+    """MMDetection V1.x anchor layout (anchor_generator.py:474): centers at
+    0.5 offset computed on (size - 1) extents, corners quantized. Kept for
+    configs that load V1-era checkpoints (e.g. legacy SSD/RetinaNet)."""
+
+    def _single_level_base_anchors(self, base_size, level):
+        import numpy as np
+        w = h = float(base_size)
+        x_center = 0.5 * (w - 1)
+        y_center = 0.5 * (h - 1)
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        ws = (w * w_ratios[:, None] * self.scales[None, :]).reshape(-1)
+        hs = (h * h_ratios[:, None] * self.scales[None, :]).reshape(-1)
+        anchors = np.stack([
+            x_center - 0.5 * (ws - 1), y_center - 0.5 * (hs - 1),
+            x_center + 0.5 * (ws - 1), y_center + 0.5 * (hs - 1)
+        ], axis=-1)
+        return np.round(anchors)

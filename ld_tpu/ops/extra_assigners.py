@@ -294,3 +294,67 @@ class GridAssigner:
             max_overlaps=jnp.where(pos, max_ov, 0.0),
             labels=labels.astype(jnp.int32),
             pos_mask=pos)
+
+
+@ASSIGNERS.register_module()
+class RegionAssigner:
+    """Cascade-RPN stage-1 assignment (region_assigner.py): each gt maps to
+    one pyramid level by scale; anchors whose center falls in the
+    center_ratio-shrunk gt region on that level are positive; the
+    ignore_ratio band (on the level and its neighbours) is excluded from
+    negatives. Smaller gts win overlaps.
+    """
+
+    def __init__(self, center_ratio=0.2, ignore_ratio=0.5, **kwargs):
+        self.center_ratio = center_ratio
+        self.ignore_ratio = ignore_ratio
+
+    def assign(self, anchors, num_level_anchors, gt_bboxes, gt_labels,
+               gt_valid, valid_mask=None, num_classes=1,
+               anchor_scale=8, strides=(8, 16, 32, 64, 128)):
+        n = anchors.shape[0]
+        if valid_mask is None:
+            valid_mask = jnp.ones((n, ), bool)
+        level_id = jnp.asarray(np.concatenate([
+            np.full(c, i, np.int32) for i, c in enumerate(num_level_anchors)
+        ]))
+        num_lvls = len(num_level_anchors)
+        scale = jnp.sqrt(jnp.maximum(
+            (gt_bboxes[:, 2] - gt_bboxes[:, 0]) *
+            (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1e-6))
+        min_size = anchor_scale * strides[0]
+        tgt_lvl = jnp.clip(jnp.floor(jnp.log2(scale / min_size) + 0.5),
+                           0, num_lvls - 1)
+        cx = (anchors[:, 0] + anchors[:, 2]) / 2
+        cy = (anchors[:, 1] + anchors[:, 3]) / 2
+
+        def in_region(ratio):
+            gx1, gy1, gx2, gy2 = (gt_bboxes[:, 0], gt_bboxes[:, 1],
+                                  gt_bboxes[:, 2], gt_bboxes[:, 3])
+            w = gx2 - gx1
+            h = gy2 - gy1
+            r = (1 - ratio) / 2
+            return ((cx[:, None] >= (gx1 + r * w)[None]) &
+                    (cx[:, None] <= (gx2 - r * w)[None]) &
+                    (cy[:, None] >= (gy1 + r * h)[None]) &
+                    (cy[:, None] <= (gy2 - r * h)[None]))
+
+        on_lvl = level_id[:, None] == tgt_lvl[None, :].astype(jnp.int32)
+        near = jnp.abs(level_id[:, None].astype(jnp.float32) -
+                       tgt_lvl[None, :]) <= 1
+        pos_in = in_region(self.center_ratio) & on_lvl & gt_valid[None, :] \
+            & valid_mask[:, None]
+        ign_in = in_region(self.ignore_ratio) & near & gt_valid[None, :]
+        areas = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * \
+            (gt_bboxes[:, 3] - gt_bboxes[:, 1])
+        masked = jnp.where(pos_in, areas[None, :], INF)
+        best = masked.argmin(axis=1)
+        pos = masked.min(axis=1) < INF / 2
+        ignore = ign_in.any(axis=1) & ~pos
+        labels = jnp.where(pos, gt_labels[best], num_classes)
+        return AssignResult(
+            assigned_gt_inds=jnp.where(pos, best, -1).astype(jnp.int32),
+            max_overlaps=jnp.where(pos, 1.0,
+                                   jnp.where(ignore, -1.0, 0.0)),
+            labels=labels.astype(jnp.int32),
+            pos_mask=pos)

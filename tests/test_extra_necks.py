@@ -94,3 +94,41 @@ def test_fpn_carafe_shapes():
 def test_necks_registered():
     for name in ('BFP', 'HRFPN', 'NASFPN', 'FPN_CARAFE'):
         assert name in NECKS
+
+
+def test_nasfcos_fpn_shapes():
+    inputs = _pyramid(base=32, levels=3, channels=[32, 64, 128])
+    from ld_tpu.models.necks.extra_necks import NASFCOS_FPN
+    neck = NASFCOS_FPN(in_channels=(32, 64, 128), out_channels=16,
+                       num_outs=5)
+    vars_ = neck.init(RNG, inputs)
+    outs = neck.apply(vars_, inputs)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 32, 32, 16)
+    assert outs[4].shape == (1, 2, 2, 16)
+
+
+def test_fpg_shapes():
+    inputs = _pyramid(base=32, levels=4, channels=[16, 32, 64, 128])
+    from ld_tpu.models.necks.extra_necks import FPG
+    neck = FPG(in_channels=(16, 32, 64, 128), out_channels=16, num_outs=5,
+               stack_times=2)
+    vars_ = neck.init(RNG, inputs)
+    outs = neck.apply(vars_, inputs)
+    assert len(outs) == 5
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 32 // 2**i, 32 // 2**i, 16)
+
+
+def test_rfp_zero_gate_matches_fpn():
+    inputs = _pyramid(base=32, levels=4, channels=[16, 32, 64, 128])
+    from ld_tpu.models.necks.extra_necks import RFP
+    neck = RFP(in_channels=(16, 32, 64, 128), out_channels=16, num_outs=5,
+               rfp_steps=2)
+    vars_ = neck.init(RNG, inputs)
+    outs = neck.apply(vars_, inputs)
+    assert len(outs) == 5
+    # gate conv is zero-init: sigmoid(0)=0.5, so output mixes plain FPN and
+    # refinement; both paths finite
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()

@@ -112,3 +112,32 @@ def test_hourglass_shapes_and_stacks():
 def test_backbones_registered():
     for name in ('RegNet', 'Res2Net', 'HRNet', 'HourglassNet'):
         assert name in BACKBONES
+
+
+def test_detectors_resnet_sac():
+    net = BACKBONES.build(dict(type='DetectoRS_ResNet', depth=50,
+                               num_stages=2, out_indices=(0, 1),
+                               sac=dict(type='SAC'),
+                               stage_with_sac=(False, True)))
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = net.init(RNG, x)
+    # SAC layers exist only in stage 2 blocks
+    p = vars_['params']
+    assert 'switch' in p['layer2_0']['conv2']
+    assert 'switch' not in p.get('layer1_0', {}).get('conv2', {})
+    outs = net.apply(vars_, x)
+    assert outs[1].shape == (1, 4, 4, 512)
+
+
+def test_trident_resnet_branches():
+    net = BACKBONES.build(dict(type='TridentResNet', depth=50,
+                               num_stages=3, out_indices=(2, ),
+                               strides=(1, 2, 2)))
+    x = jax.random.normal(RNG, (2, 32, 32, 3))
+    vars_ = net.init(RNG, x)
+    outs = net.apply(vars_, x)
+    # batch folds the 3 branches: 2 -> 6 (stride 16 on a 32-px input)
+    assert outs[0].shape == (6, 2, 2, 1024)
+    o = np.asarray(outs[0])
+    # branches share weights but differ by dilation -> different outputs
+    assert not np.allclose(o[:2], o[2:4])
