@@ -1,0 +1,14 @@
+# Parity: /root/reference/configs/detr/detr_r50_8x2_150e_coco.py
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    type='DETR',
+    pretrained='torchvision://resnet50',
+    backbone=dict(type='ResNet', depth=50, num_stages=4,
+                  out_indices=(3, ), frozen_stages=1, norm_eval=True),
+    bbox_head=dict(type='DETRHead', num_classes=80, in_channels=2048,
+                   num_query=100, embed_dims=256),
+    test_cfg=dict(max_per_img=100))

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ld_tpu.models.necks.seq import build_neck_maybe_seq
 from ld_tpu.utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
 
 
@@ -43,7 +44,7 @@ class SingleStageDetector:
     def __init__(self, backbone, neck=None, bbox_head=None, train_cfg=None,
                  test_cfg=None, pretrained=None, **kwargs):
         self.backbone = BACKBONES.build(dict(backbone))
-        self.neck = NECKS.build(dict(neck)) if neck else None
+        self.neck = build_neck_maybe_seq(neck)
         head_cfg = dict(bbox_head)
         head_cfg.setdefault('train_cfg', train_cfg)
         head_cfg.setdefault('test_cfg', test_cfg)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ld_tpu.utils.config import Config
+from ld_tpu.models.necks.seq import build_neck_maybe_seq
 from ld_tpu.utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
 from .kd_one_stage import _resolve_config
 
@@ -47,7 +48,7 @@ class TwoStageDetector:
         train_cfg = train_cfg or {}
         test_cfg = test_cfg or {}
         self.backbone = BACKBONES.build(dict(backbone))
-        self.neck = NECKS.build(dict(neck)) if neck else None
+        self.neck = build_neck_maybe_seq(neck)
         rpn_cfg = dict(rpn_head or dict(type='RPNHead', in_channels=256))
         rpn_cfg.setdefault('train_cfg', train_cfg.get('rpn'))
         rpn_cfg.setdefault('test_cfg', test_cfg.get('rpn'))
