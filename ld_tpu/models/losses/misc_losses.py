@@ -227,3 +227,28 @@ class GHMR:
                                           total / jnp.maximum(n, 1.0), 0.0)
         loss = loss * weights / self.bins
         return self.loss_weight * loss.sum() / total
+
+
+@LOSSES.register_module()
+class AssociativeEmbeddingLoss:
+    """Corner pull/push embedding loss (ae_loss.py; used by CornerHead —
+    which also carries an inlined copy over its dense targets). Operates
+    on gathered per-object tl/br embeddings with a validity mask."""
+
+    def __init__(self, pull_weight=0.25, push_weight=0.25):
+        self.pull_weight = pull_weight
+        self.push_weight = push_weight
+
+    def __call__(self, tl_emb, br_emb, valid):
+        """tl_emb/br_emb (..., G); valid (..., G) float."""
+        mean = (tl_emb + br_emb) / 2
+        n = jnp.maximum(valid.sum(-1), 1.0)
+        pull = (((tl_emb - mean)**2 + (br_emb - mean)**2) * valid).sum(-1) \
+            / n
+        diff = jnp.abs(mean[..., :, None] - mean[..., None, :])
+        g = valid.shape[-1]
+        pairm = valid[..., :, None] * valid[..., None, :] * \
+            (1.0 - jnp.eye(g))
+        push = (jnp.maximum(1.0 - diff, 0.0) * pairm).sum((-2, -1)) / \
+            jnp.maximum(n * (n - 1), 1.0)
+        return self.pull_weight * pull.mean(), self.push_weight * push.mean()

@@ -91,3 +91,28 @@ def test_scnet_roi_head():
     losses = det.forward_train(v, batch, jax.random.PRNGKey(1))
     assert 'loss_glbctx' in losses
     assert all(np.isfinite(float(x)) for x in losses.values())
+
+
+def test_cityscapes_converter(tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tools', 'dataset_converters'))
+    import cityscapes as cs
+    from PIL import Image
+    d = str(tmp_path)
+    city = 'ctown'
+    os.makedirs(f'{d}/leftImg8bit/val/{city}')
+    os.makedirs(f'{d}/gtFine/val/{city}')
+    inst = np.zeros((64, 96), np.int32)
+    inst[10:30, 10:40] = 26 * 1000      # car
+    inst[40:60, 50:90] = 24 * 1000 + 1  # person
+    Image.fromarray(inst).save(
+        f'{d}/gtFine/val/{city}/f_gtFine_instanceIds.png')
+    Image.fromarray(np.zeros((64, 96, 3), np.uint8)).save(
+        f'{d}/leftImg8bit/val/{city}/f_leftImg8bit.png')
+    coco = cs.collect_split(d, 'val')
+    assert len(coco['images']) == 1 and len(coco['annotations']) == 2
+    names = {c['id']: c['name'] for c in coco['categories']}
+    assert sorted(names[a['category_id']]
+                  for a in coco['annotations']) == ['car', 'person']
