@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('config')
-    ap.add_argument('checkpoint')
+    ap.add_argument('checkpoint', nargs='?', default=None)
     ap.add_argument('--camera-id', type=int, default=0)
     ap.add_argument('--score-thr', type=float, default=0.3)
     ap.add_argument('--input-size', type=int, nargs=2, default=(480, 640),
@@ -34,14 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from ld_tpu import Config
-    from ld_tpu.models import build_detector
-    from ld_tpu.utils.checkpoint import load_checkpoint
+    from ld_tpu.apis.inference import init_detector
 
-    cfg = Config.fromfile(args.config)
-    det = build_detector(dict(cfg.model))
+    det, variables = init_detector(args.config, args.checkpoint)
     h, w = args.input_size
-    variables = load_checkpoint(det, args.checkpoint)
 
     @jax.jit
     def infer(variables, image):

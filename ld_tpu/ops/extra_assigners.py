@@ -2,11 +2,13 @@
 
 Parity targets in /root/reference/mmdet/core/bbox/assigners/:
   * HungarianAssigner (DETR set matching; hungarian_assigner.py) — cost =
-    cls + L1(normalized boxes) + IoU cost; the assignment itself runs on
-    host via scipy (it is O(n^3) sequential — not a TPU-shaped computation;
-    the reference also runs it on CPU via scipy).
+    cls + L1(normalized boxes) + IoU cost; the reference solves the LAP on
+    host via scipy, here the exact Jonker-Volgenant solver in
+    ops/matching.py runs fully on device inside jit.
   * PointAssigner (point_assigner.py, RepPoints) — each gt claims the
     nearest points on its scale level.
+  * CenterRegion / ApproxMaxIoU / TaskAligned / Grid / Region assigners —
+    see each class docstring.
 """
 from __future__ import annotations
 
