@@ -42,17 +42,26 @@ def create_train_state(detector, rng, optimizer,
 
 def make_train_step(detector, optimizer, has_teacher: bool = False):
     """Build the pure train-step function (to be jitted/pjitted by caller)."""
+    import inspect
+    takes_rng = 'rng' in inspect.signature(
+        detector.forward_train).parameters
 
     def train_step(state: TrainState, batch: Dict,
                    teacher_variables: Optional[Dict] = None):
         def loss_fn(params):
             variables = {'params': params,
                          'batch_stats': state.batch_stats}
+            kwargs = {}
+            if takes_rng:
+                # per-step rng so ROI sampling varies across iterations
+                kwargs['rng'] = jax.random.fold_in(
+                    jax.random.PRNGKey(17), state.step)
             if has_teacher:
                 losses = detector.forward_train(
-                    variables, batch, teacher_variables=teacher_variables)
+                    variables, batch, teacher_variables=teacher_variables,
+                    **kwargs)
             else:
-                losses = detector.forward_train(variables, batch)
+                losses = detector.forward_train(variables, batch, **kwargs)
             total = sum(jnp.asarray(v) for v in losses.values())
             return total, losses
 

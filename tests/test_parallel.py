@@ -91,3 +91,49 @@ def test_frozen_mask_paths():
     assert any('conv1' in f for f in frozen)
     assert not any('layer2' in f for f in frozen)
     assert not any('head_net' in f for f in frozen)
+
+
+def _vfnet_cfg():
+    return dict(
+        type='VFNet',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(type='VFNetHead', num_classes=4, in_channels=32,
+                       stacked_convs=1, feat_channels=32),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=10))
+
+
+def test_dp8_matches_dp1_new_head():
+    """The zoo's new heads normalize by GLOBAL batch statistics (jnp sums
+    over the sharded batch axis -> GSPMD collectives); VFNet's IoU-weighted
+    avg factors are the trickiest — verify dp8 == dp1 end to end."""
+    assert len(jax.devices()) >= 8
+
+    def run(n_devices, n_steps=2):
+        det = build_detector(_vfnet_cfg())
+        mesh = create_mesh(('data', ),
+                           devices=jax.devices()[:n_devices])
+        schedule = build_lr_schedule(0.01, dict(warmup_iters=2,
+                                                step=[100]), 2, 10)
+        variables = det.init_variables(jax.random.PRNGKey(0),
+                                       (1, 64, 96, 3))
+        optimizer = build_optimizer(
+            dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=1e-4),
+            schedule, variables['params'],
+            frozen_prefixes=det.frozen_param_paths())
+        state = create_train_state(det, jax.random.PRNGKey(0), optimizer,
+                                   (1, 64, 96, 3))
+        step = jit_train_step(make_train_step(det, optimizer), mesh)
+        losses = []
+        for _ in range(n_steps):
+            state, metrics = step(state, shard_batch(_batch(), mesh))
+            losses.append(float(metrics['loss']))
+        return losses
+
+    np.testing.assert_allclose(run(1), run(8), rtol=3e-4, atol=3e-5)
