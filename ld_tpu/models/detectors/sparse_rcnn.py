@@ -202,8 +202,10 @@ class SparseRCNN:
             probs = jax.nn.sigmoid(lg)
             # focal cls cost + L1 (normalized) + GIoU
             pg = probs[:, jnp.clip(gtl, 0, self.num_classes - 1)]
-            cls_cost = ((1 - pg)**2 * -jnp.log(pg + EPS) -
-                        pg**2 * -jnp.log(1 - pg + EPS)) * 0.25
+            # FocalLossCost: pos weighted by alpha, neg by (1 - alpha)
+            pos_cost = 0.25 * (1 - pg)**2 * -jnp.log(pg + EPS)
+            neg_cost = 0.75 * pg**2 * -jnp.log(1 - pg + EPS)
+            cls_cost = pos_cost - neg_cost
             scale = jnp.stack([hw[1], hw[0], hw[1], hw[0]])
             l1 = jnp.abs((bx / scale)[:, None] -
                          (gtb / scale)[None, :]).sum(-1)

@@ -183,3 +183,41 @@ class KnowledgeDistillationTwoStageDetector(TwoStageDetector):
             rng=jax.random.fold_in(rng, 2))
         losses.update(roi_losses)
         return losses
+
+
+@DETECTORS.register_module()
+class TridentFasterRCNN(TwoStageDetector):
+    """Faster R-CNN over TridentResNet (trident_faster_rcnn.py): the
+    backbone folds its three weight-shared branches into the batch axis
+    (B -> 3B), so training tiles the ground truth per branch (exactly the
+    reference's image/proposal concat) and testing keeps only the
+    `test_branch_idx` slice of every feature/RPN map."""
+
+    def _num_branch(self):
+        return getattr(self.backbone, 'num_branch', 3)
+
+    def forward_train(self, variables, batch, rng=None):
+        nb = self._num_branch()
+        tiled = dict(batch)
+        for k in ('gt_bboxes', 'gt_labels', 'gt_valid', 'img_hw',
+                  'gt_masks'):
+            if k in tiled:
+                v = tiled[k]
+                tiled[k] = jnp.tile(v, (nb, ) + (1, ) * (v.ndim - 1))
+        return super().forward_train(variables, tiled, rng)
+
+    def forward_test(self, variables, batch, rescale=False):
+        feats, rpn_outs, roi_vars = self.extract(variables, batch['image'])
+        nb = self._num_branch()
+        idx = getattr(self.backbone, 'test_branch_idx', 1)
+        b = batch['image'].shape[0]
+        sl = slice(idx * b, (idx + 1) * b)
+        feats = [f[sl] for f in feats]
+        rpn_outs = jax.tree_util.tree_map(lambda x: x[sl], rpn_outs)
+        proposals, prop_valid = self.rpn_head.get_proposals(
+            rpn_outs, batch['img_hw'])
+        return self.roi_head.simple_test(
+            roi_vars, list(feats), proposals, prop_valid, batch['img_hw'],
+            batch.get('scale_factor'), rescale=rescale)
+
+    simple_test = forward_test

@@ -66,14 +66,15 @@ class YOLACT:
     def apply(self, variables, images, train=False):
         return self.net.apply(variables, images, train=train)
 
-    def forward_train(self, variables, batch) -> Dict[str, jnp.ndarray]:
+    def forward_train(self, variables, batch, rng=None
+                      ) -> Dict[str, jnp.ndarray]:
         outs, protos, segm = self.apply(variables, batch['image'],
                                         train=True)
         featmap_sizes = [c.shape[1:3] for c in outs[0]]
         losses = self.bbox_head.loss(outs, batch, featmap_sizes)
         losses.update(self.bbox_head.segm_loss(segm, batch))
         losses.update(self.bbox_head.mask_loss(outs, protos, batch,
-                                               featmap_sizes))
+                                               featmap_sizes, rng=rng))
         return losses
 
     def forward_test(self, variables, batch, rescale=False):

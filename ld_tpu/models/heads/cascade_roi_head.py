@@ -95,7 +95,7 @@ class CascadeRoIHead(StandardRoIHead):
             self.assigner.min_pos_iou = self.stage_ious[i]
             self.coder = self.coders[i]
             (rois, roi_valid, roi_pos, labels, deltas,
-             roi_gt_inds) = jax.vmap(self.sample_rois)(
+             roi_gt_inds, _) = jax.vmap(self.sample_rois)(
                  boxes, valid, batch['gt_bboxes'], batch['gt_labels'],
                  batch['gt_valid'], jax.random.split(
                      jax.random.fold_in(rng, i), boxes.shape[0]))

@@ -171,7 +171,7 @@ class CentripetalHead(CornerHead):
             return jnp.where(heat == m, heat, 0.0)
 
         def per_image(tlh, brh, tlo, bro, tlc, brc, hw, sf):
-            stride = hw[0] / h
+            stride = 4.0   # hourglass stride of the PADDED input
             tlh = local_max(jax.nn.sigmoid(tlh)[None])[0].reshape(-1)
             brh = local_max(jax.nn.sigmoid(brh)[None])[0].reshape(-1)
             tls, tli = jax.lax.top_k(tlh, k)

@@ -261,7 +261,9 @@ class CornerHead:
             return jnp.where(heat == m, heat, 0.0)
 
         def per_image(tlh, brh, tle, bre, tlo, bro, hw, sf):
-            stride = hw[0] / h
+            # hourglass stem is stride 4 of the PADDED input; hw is the
+            # un-padded size, so derive the stride statically
+            stride = 4.0
             tlh = local_max(jax.nn.sigmoid(tlh)[None])[0].reshape(-1)
             brh = local_max(jax.nn.sigmoid(brh)[None])[0].reshape(-1)
             tls, tli = jax.lax.top_k(tlh, k)

@@ -31,6 +31,15 @@ from .roi_head import StandardRoIHead
 EPS = 1e-6
 
 
+def _whiskered(boxes, whisker):
+    """Expand boxes about their centers by (1 + 2*whisker)."""
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    hw = (boxes[:, 2] - boxes[:, 0]) * (0.5 + whisker)
+    hh = (boxes[:, 3] - boxes[:, 1]) * (0.5 + whisker)
+    return jnp.stack([cx - hw, cy - hh, cx + hw, cy + hh], -1)
+
+
 class GridHeadNet(nn.Module):
     grid_points: int = 9
     conv_out: int = 64
@@ -60,7 +69,9 @@ class GridRoIHead(StandardRoIHead):
         gh = dict(grid_head or {})
         self.grid_points = gh.get('grid_points', 9)
         self.grid_roi_size = 14
-        self.whisker = 0.25                   # roi expansion ratio (x1.5?)
+        # grid rois are whisker-expanded so border points fall inside the
+        # extraction window (grid_roi_head.py); 0.25 -> 1.5x extent
+        self.whisker = gh.get('whisker', 0.25)
         self.grid_net = GridHeadNet(
             grid_points=self.grid_points,
             conv_out=gh.get('conv_out_channels', 64),
@@ -84,13 +95,14 @@ class GridRoIHead(StandardRoIHead):
             return losses
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        rois, roi_valid, roi_pos, labels, _, roi_gt_inds = jax.vmap(
+        (rois, roi_valid, roi_pos, labels, _, roi_gt_inds, _w) = jax.vmap(
             self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'], rngs)
         gvars = {'params': variables['params']['grid']}
         n_side = int(self.grid_points ** 0.5)
 
         def single(img_feats, r, rv, rp, rgi, gtb):
+            r = _whiskered(r, self.whisker)
             gf = multi_level_roi_align(img_feats, r, rv & rp,
                                        self.grid_roi_size,
                                        self.featmap_strides)
@@ -130,6 +142,63 @@ class GridRoIHead(StandardRoIHead):
             roi_pos, roi_gt_inds, batch['gt_bboxes'])
         losses['loss_grid'] = 15.0 * l.sum() / jnp.maximum(n.sum(), 1.0)
         return losses
+
+    def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
+                    scale_factor=None, rescale=False, cfg=None,
+                    with_masks=None):
+        """Grid R-CNN test: the detected boxes are REBUILT from the grid
+        head's point heatmaps (confidence-weighted mean of the border
+        points per edge, grid_roi_head.py simple_test)."""
+        dets, det_labels, valid = super().simple_test(
+            variables, feats, proposals, prop_valid, img_hw,
+            scale_factor=None, rescale=False, cfg=cfg, with_masks=False)
+        if 'grid' not in variables['params']:
+            return dets, det_labels, valid
+        gvars = {'params': variables['params']['grid']}
+        n_side = int(self.grid_points ** 0.5)
+
+        def per_image(img_feats, img_dets, sf):
+            raw = img_dets[:, :4]
+            ok = img_dets[:, 4] > 0
+            boxes = _whiskered(raw, self.whisker)
+            gf = multi_level_roi_align(img_feats, boxes, ok,
+                                       self.grid_roi_size,
+                                       self.featmap_strides)
+            heat = jax.nn.sigmoid(self.grid_net.apply(gvars, gf))
+            k, s = heat.shape[0], heat.shape[1]
+            flat = heat.transpose(0, 3, 1, 2).reshape(k, self.grid_points,
+                                                      s * s)
+            conf = flat.max(-1)                        # (K, 9)
+            idx = flat.argmax(-1)
+            px = (idx % s).astype(jnp.float32) + 0.5
+            py = (idx // s).astype(jnp.float32) + 0.5
+            rw = jnp.maximum(boxes[:, 2] - boxes[:, 0], EPS)
+            rh = jnp.maximum(boxes[:, 3] - boxes[:, 1], EPS)
+            x = boxes[:, 0:1] + px / s * rw[:, None]   # (K, 9)
+            y = boxes[:, 1:2] + py / s * rh[:, None]
+            col = jnp.arange(self.grid_points) % n_side
+            row = jnp.arange(self.grid_points) // n_side
+
+            def edge(vals, member):
+                w = conf * member[None, :]
+                return (vals * w).sum(-1) / jnp.maximum(w.sum(-1), EPS)
+
+            x1 = edge(x, (col == 0).astype(jnp.float32))
+            x2 = edge(x, (col == n_side - 1).astype(jnp.float32))
+            y1 = edge(y, (row == 0).astype(jnp.float32))
+            y2 = edge(y, (row == n_side - 1).astype(jnp.float32))
+            refined = jnp.stack([x1, y1, x2, y2], -1)
+            refined = jnp.where(ok[:, None], refined, raw)
+            if rescale and sf is not None:
+                refined = refined / sf[None, :]
+            return jnp.concatenate([refined, img_dets[:, 4:5]], -1)
+
+        if scale_factor is None:
+            scale_factor = jnp.ones((proposals.shape[0], 4))
+        dets = jax.vmap(per_image)(
+            [f for f in feats[:len(self.featmap_strides)]], dets,
+            scale_factor)
+        return dets, det_labels, valid
 
 
 class MaskPointHeadNet(nn.Module):
@@ -205,7 +274,7 @@ class PointRendRoIHead(StandardRoIHead):
             return losses
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        rois, roi_valid, roi_pos, labels, _, roi_gt_inds = jax.vmap(
+        (rois, roi_valid, roi_pos, labels, _, roi_gt_inds, _w) = jax.vmap(
             self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'], rngs)
         mask_vars = self._mask_vars(variables)

@@ -202,8 +202,9 @@ class GARetinaHead:
         ys = jnp.arange(h, dtype=jnp.float32)
         xs = jnp.arange(w, dtype=jnp.float32)
 
-        def region_mask(ratio, member):
-            x1, y1, x2, y2 = calc_region(g, ratio, h, w)
+        def region_mask(frac, member):
+            # calc_region takes the kept CENTER FRACTION directly
+            x1, y1, x2, y2 = calc_region(g, frac, h, w)
             inx = (xs[None, :] >= jnp.floor(x1)[:, None]) & \
                 (xs[None, :] <= jnp.ceil(x2)[:, None])
             iny = (ys[None, :] >= jnp.floor(y1)[:, None]) & \
@@ -211,10 +212,8 @@ class GARetinaHead:
             m = iny[:, :, None] & inx[:, None, :] & member[:, None, None]
             return m.any(axis=0).reshape(-1)
 
-        r1 = (1 - self.center_ratio) / 2
-        r2 = (1 - self.ignore_ratio) / 2
-        pos = region_mask(r1, on_lvl)
-        ignore = region_mask(r2, near_lvl) & ~pos
+        pos = region_mask(self.center_ratio, on_lvl)
+        ignore = region_mask(self.ignore_ratio, near_lvl) & ~pos
         tgt = pos.astype(jnp.float32)
         weight = jnp.where(pos, 1.0, jnp.where(ignore, 0.0, 0.1))
         return tgt, weight

@@ -55,10 +55,14 @@ class PISARetinaHead(RetinaHead):
         deltas = self.coder.encode(
             t['anchors'][None], t['bbox_targets']).reshape(-1, 4)
 
-        # gather a fixed positive budget
+        # gather a fixed positive budget — when positives exceed it, keep
+        # the HIGHEST-IoU ones (deterministic, and exactly PISA's notion of
+        # prime samples), not a random subset
         p = min(self.max_pos, pos.shape[0])
-        keys = pos.astype(jnp.float32) + \
-            jax.random.uniform(jax.random.PRNGKey(0), pos.shape) * 0.01
+        all_iou = bbox_overlaps(
+            self.coder.decode(anchors, jax.lax.stop_gradient(reg2)),
+            self.coder.decode(anchors, deltas), is_aligned=True)
+        keys = pos.astype(jnp.float32) * (1.0 + all_iou)
         _, sel = jax.lax.top_k(keys, p)
         sv = pos[sel]
         s_labels = labels[sel]

@@ -87,6 +87,10 @@ class StandardRoIHead:
         self.sampler = build_sampler(
             {**s_cfg, 'type': s_cfg.get('type', 'RandomSampler')},
             num=self.num_samples, pos_fraction=self.pos_fraction)
+        # OHEM/ScoreHLR need per-candidate losses/scores from a preliminary
+        # stop-gradient head pass (the reference's context._bbox_forward)
+        self._hard_mining = type(self.sampler).__name__ in (
+            'OHEMSampler', 'ScoreHLRSampler')
         self.net = Shared2FCBBoxHeadNet(
             num_classes=self.num_classes, roi_size=self.roi_size,
             in_channels=bbox_head.get('in_channels', 256),
@@ -107,8 +111,14 @@ class StandardRoIHead:
 
     # ---- training -------------------------------------------------------------
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
-                    gt_valid, rng):
-        """Assign + sample a fixed set of rois for ONE image."""
+                    gt_valid, rng, extras=None):
+        """Assign + sample a fixed set of rois for ONE image.
+
+        `extras` (optional dict) carries hard-mining inputs for
+        OHEM/ScoreHLR samplers: per-candidate `loss`, fg `scores` (see
+        forward_train). The 7th return is per-roi label weights
+        (ScoreHLR's decayed negatives; ones otherwise).
+        """
         if self.add_gt_as_proposals:
             proposals = jnp.concatenate([gt_bboxes, proposals])
             prop_valid = jnp.concatenate([gt_valid, prop_valid])
@@ -119,9 +129,10 @@ class StandardRoIHead:
         raw_iou = jnp.max(
             jnp.where(gt_valid[None, :],
                       bbox_overlaps(proposals, gt_bboxes), 0.0), -1)
-        pos_sel, neg_sel, _ = self.sampler.sample(
+        pos_sel, neg_sel, neg_w = self.sampler.sample(
             rng, res.pos_mask & prop_valid, (~res.pos_mask) & prop_valid,
-            gt_inds=res.assigned_gt_inds, max_overlaps=raw_iou)
+            gt_inds=res.assigned_gt_inds, max_overlaps=raw_iou,
+            boxes=proposals, **(extras or {}))
 
         sel = pos_sel | neg_sel
         # gather a fixed `num_samples` roi set (selected first, by key rank)
@@ -137,7 +148,10 @@ class StandardRoIHead:
         safe = jnp.clip(res.assigned_gt_inds, 0)[order]
         labels = jnp.where(roi_pos, res.labels[order], self.num_classes)
         deltas = self.coder.encode(rois, gt_bboxes[safe])
-        return rois, roi_valid, roi_pos, labels, deltas, safe
+        w_full = jnp.ones_like(raw_iou) if neg_w is None else \
+            jnp.where(pos_sel, 1.0, neg_w)
+        return (rois, roi_valid, roi_pos, labels, deltas, safe,
+                w_full[order])
 
     def _bbox_vars(self, variables):
         p = variables['params']
@@ -152,14 +166,43 @@ class StandardRoIHead:
         variables: {'params': {'bbox': ..., 'mask': ...}} (mask optional)."""
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        (rois, roi_valid, roi_pos, labels, deltas, roi_gt_inds) = jax.vmap(
-            self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
-                              batch['gt_labels'], batch['gt_valid'], rngs)
 
         def extract(img_feats, img_rois, img_valid):
             return multi_level_roi_align(
                 img_feats, img_rois, img_valid, self.roi_size,
                 self.featmap_strides)
+
+        extras = None
+        if self._hard_mining:
+            bbox_vars = self._bbox_vars(variables)
+
+            def prelim(img_feats, gtb, gtl, gtv, props, pv):
+                cand = jnp.concatenate([gtb, props]) \
+                    if self.add_gt_as_proposals else props
+                cv = jnp.concatenate([gtv, pv]) \
+                    if self.add_gt_as_proposals else pv
+                rf = extract(img_feats, cand, cv)
+                cls, _ = self.net.apply(bbox_vars, rf)
+                cls = jax.lax.stop_gradient(cls)
+                res = self.assigner.assign(
+                    cand, [cand.shape[0]], gtb, gtl, gtv, cv,
+                    num_classes=self.num_classes)
+                lab = jnp.where(res.pos_mask, res.labels, self.num_classes)
+                logp = jax.nn.log_softmax(cls, -1)
+                ce = -jnp.take_along_axis(logp, lab[:, None], 1)[:, 0]
+                probs = jax.nn.softmax(cls, -1)[:, :self.num_classes]
+                return ce, probs.max(-1)
+
+            ce, sc = jax.vmap(prelim)(
+                [f for f in feats[:len(self.featmap_strides)]],
+                batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'],
+                proposals, prop_valid)
+            extras = dict(loss=ce, scores=sc)
+
+        (rois, roi_valid, roi_pos, labels, deltas, roi_gt_inds,
+         roi_weights) = jax.vmap(self.sample_rois)(
+             proposals, prop_valid, batch['gt_bboxes'],
+             batch['gt_labels'], batch['gt_valid'], rngs, extras)
 
         roi_feats = jax.vmap(extract)(
             [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
@@ -171,8 +214,9 @@ class StandardRoIHead:
         validf = roi_valid.reshape(-1).astype(jnp.float32)
         posf = roi_pos.reshape(-1).astype(jnp.float32)
         avg = jnp.maximum(validf.sum(), 1.0)
-        loss_cls = self.loss_cls_fn(cls, labels_f, weight=validf,
-                                    avg_factor=avg)
+        loss_cls = self.loss_cls_fn(
+            cls, labels_f, weight=validf * roi_weights.reshape(-1),
+            avg_factor=avg)
         if self.reg_class_agnostic:
             reg_sel = reg
         else:

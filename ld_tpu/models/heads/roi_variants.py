@@ -176,7 +176,7 @@ class MaskScoringRoIHead(StandardRoIHead):
         # re-sample the same rois (same rng) for the maskiou branch
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        rois, roi_valid, roi_pos, labels, _, roi_gt_inds = jax.vmap(
+        (rois, roi_valid, roi_pos, labels, _, roi_gt_inds, _w) = jax.vmap(
             self.sample_rois)(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'], rngs)
         mask_vars = self._mask_vars(variables)
@@ -214,6 +214,35 @@ class MaskScoringRoIHead(StandardRoIHead):
         return losses
 
 
+class _DynamicSmoothL1:
+    """SmoothL1 whose beta tracks the ktop-th smallest positive regression
+    target magnitude of the CURRENT batch (DSR half of Dynamic R-CNN; the
+    reference updates from rolling history at intervals, here stateless
+    per batch — same signal inside one jitted step)."""
+
+    def __init__(self, ktop=10, initial_beta=1.0, loss_weight=1.0):
+        self.ktop = ktop
+        self.initial_beta = initial_beta
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        err = jnp.abs(pred - target)                     # (N, 4)
+        posm = (weight[:, 0] > 0) if weight is not None else \
+            jnp.ones(err.shape[0], bool)
+        per_box = jnp.where(posm, jnp.abs(target).mean(-1), 1e9)
+        k = min(self.ktop, per_box.shape[0])
+        kth = -jax.lax.top_k(-per_box, k)[0][-1]
+        beta = jnp.clip(kth, 1e-3, self.initial_beta)
+        loss = jnp.where(err < beta, 0.5 * err * err / beta,
+                         err - 0.5 * beta)
+        if weight is not None:
+            loss = loss * weight
+        if avg_factor is not None:
+            return self.loss_weight * loss.sum() / avg_factor
+        return self.loss_weight * loss.mean()
+
+
 @HEADS.register_module()
 class DynamicRoIHead(StandardRoIHead):
 
@@ -224,9 +253,12 @@ class DynamicRoIHead(StandardRoIHead):
         self.ktop_beta = ktop_beta
         self.initial_iou = initial_iou
         self.initial_beta = initial_beta
+        # DSR: swap the static SmoothL1 for the batch-adaptive one
+        self.loss_bbox_fn = _DynamicSmoothL1(
+            ktop=ktop_beta, initial_beta=initial_beta)
 
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
-                    gt_valid, rng):
+                    gt_valid, rng, extras=None):
         """MaxIoU assignment with a batch-adaptive positive threshold:
         thr = mean over gts of their ktop-th best proposal IoU (DLA)."""
         if self.add_gt_as_proposals:
@@ -273,10 +305,5 @@ class DynamicRoIHead(StandardRoIHead):
         safe = argmax[order2]
         labels = jnp.where(roi_pos, gt_labels[safe], self.num_classes)
         deltas = self.coder.encode(rois, gt_bboxes[safe])
-        return rois, roi_valid, roi_pos, labels, deltas, safe
-
-    def forward_train(self, variables, feats, proposals, prop_valid, batch,
-                      rng) -> Dict[str, jnp.ndarray]:
-        losses = super().forward_train(variables, feats, proposals,
-                                       prop_valid, batch, rng)
-        return losses
+        return (rois, roi_valid, roi_pos, labels, deltas, safe,
+                jnp.ones_like(max_iou[order2]))

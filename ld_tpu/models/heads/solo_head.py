@@ -187,6 +187,10 @@ class SOLOHead:
     def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
         cate_preds, mask_preds = outputs
         gt_masks = batch['gt_masks']
+        # the S x S category grid tiles the PADDED image, so cell centers
+        # map through the padded size (mmdet: upsampled_size = 4*featmap)
+        pad_hw = jnp.asarray([float(batch['image'].shape[1]),
+                              float(batch['image'].shape[2])])
         loss_cls_sum = 0.0
         dice_sum = 0.0
         n_pos_sum = 0.0
@@ -194,9 +198,9 @@ class SOLOHead:
         for lvl, s in enumerate(self.num_grids):
             lo, hi = self.scale_ranges[lvl]
 
-            def single(gtb, gtl, gtv, gtm, hw, mp):
+            def single(gtb, gtl, gtv, gtm, mp):
                 cell_gt, labels = self._cell_targets(s, lo, hi, gtb, gtl,
-                                                     gtv, hw)
+                                                     gtv, pad_hw)
                 hm, wm = mp.shape[0], mp.shape[1]
                 tgt = jax.image.resize(gtm, (gtm.shape[0], hm, wm),
                                        method='nearest')
@@ -212,7 +216,7 @@ class SOLOHead:
 
             labels, dice, n_pos = jax.vmap(single)(
                 batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'],
-                gt_masks, batch['img_hw'], mask_preds[lvl])
+                gt_masks, mask_preds[lvl])
             cate_flat = cate_preds[lvl].reshape(
                 labels.shape[0], -1, self.num_classes)
             loss_cls_sum = loss_cls_sum + self.loss_cls(
@@ -268,8 +272,11 @@ class SOLOHead:
         """Boxes derived from predicted masks (for bbox-protocol eval)."""
         masks, labels, scores = self.get_masks(outputs, img_hw, cfg)
         hm, wm = masks.shape[2:4]
-        stride_y = img_hw[:, 0] / hm
-        stride_x = img_hw[:, 1] / wm
+        # mask preds live at stride 4 of the PADDED input (P2 level x2
+        # upsample); img_hw is the un-padded size, so the stride is static
+        b = masks.shape[0]
+        stride_y = jnp.full((b, ), 4.0)
+        stride_x = jnp.full((b, ), 4.0)
 
         def to_box(m, sy, sx):
             ys = m.max(axis=2)                                # (K, hm)

@@ -180,8 +180,9 @@ class YOLACTHead(RetinaHead):
             avg_factor=jnp.maximum(num_total, 1.0))
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
-    def mask_loss(self, outputs, protos, batch, featmap_sizes):
+    def mask_loss(self, outputs, protos, batch, featmap_sizes, rng=None):
         """Protonet BCE over a fixed budget of positive anchors."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
         _, _, coeff_preds = outputs
         t = self.build_targets(featmap_sizes, batch['gt_bboxes'],
                                batch['gt_labels'], batch['gt_valid'],
@@ -191,10 +192,10 @@ class YOLACTHead(RetinaHead):
         hp, wp = protos.shape[1:3]
         k = self.max_masks_to_train
 
-        def single(proto, coeff, pos, gt_idx, gtb, gtm, hw):
+        def single(proto, coeff, pos, gt_idx, gtb, gtm, hw, r):
             scale = 4.0                     # protos live at stride 4
             keys = jnp.where(pos, 1.0, 0.0) + \
-                jax.random.uniform(jax.random.PRNGKey(0), pos.shape) * 0.01
+                jax.random.uniform(r, pos.shape) * 0.01
             _, sel = jax.lax.top_k(keys, k)
             sel_pos = pos[sel]
             gi = jnp.clip(gt_idx, 0)[sel]
@@ -212,7 +213,8 @@ class YOLACTHead(RetinaHead):
 
         losses, counts = jax.vmap(single)(
             protos, coeff_flat, t['pos_mask'], t['assigned_gt_inds'],
-            batch['gt_bboxes'], gt_masks, batch['img_hw'])
+            batch['gt_bboxes'], gt_masks, batch['img_hw'],
+            jax.random.split(rng, protos.shape[0]))
         return dict(loss_mask=self.loss_mask_weight * losses.sum() /
                     jnp.maximum(counts.sum(), 1.0))
 
@@ -263,8 +265,11 @@ class YOLACTHead(RetinaHead):
                 boxes[idx], top_s, lab[idx],
                 iou_threshold=cfg.get('iou_thr', 0.5), max_out=max_out)
             kf = kvalid.astype(jnp.float32)[:, None]
+            out_boxes = boxes[idx][keep]
+            if rescale and sf is not None:
+                out_boxes = out_boxes / sf[None, :]
             dets = jnp.concatenate(
-                [boxes[idx][keep], (top_s[keep])[:, None]], -1) * kf
+                [out_boxes, (top_s[keep])[:, None]], -1) * kf
             return (dets, lab[idx][keep] * kvalid, kvalid.sum(),
                     coeff[idx][keep] * kf)
 
