@@ -45,6 +45,10 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
                  train_cfg=None, test_cfg=None, pretrained=None, **kwargs):
         super().__init__(backbone, neck, bbox_head, train_cfg, test_cfg,
                          pretrained)
+        # NOTE: the teacher always runs with frozen statistics here (all
+        # backbones default to norm_eval, and its params are stop-gradient
+        # pytrees) — with eval_teacher=False the reference merely lets
+        # teacher BN follow train mode, which is a no-op under frozen BN.
         self.eval_teacher = eval_teacher
         self.output_feature = output_feature
         if isinstance(teacher_config, str):

@@ -88,7 +88,9 @@ class LDHead(GFLHead):
 
         def single(gtb, gtv, vf):
             vlr = self.assigner.get_vlr_region(anchors, num_lvl, gtb, gtv, vf)
-            im = self._im_region(anchors, gtb, gtv)
+            # the reference computes im regions over inside-image anchors
+            # only and unmaps with fill 0 (ld_head.py _get_target_single)
+            im = self._im_region(anchors, gtb, gtv) & vf
             return vlr, im
 
         vlr, im = jax.vmap(single)(gt_bboxes, gt_valid, t['anchor_valid'])
@@ -98,8 +100,8 @@ class LDHead(GFLHead):
 
     # ---- GI region (needs head outputs) --------------------------------------
     def _gi_mask(self, cls_flat, soft_label_flat, pred_flat, soft_pred_flat,
-                 centers, lo, hi, gi_candidates=512, gi_top=10):
-        """GI-region mask over the flattened batch slice [lo:hi) of one level.
+                 centers, gi_candidates=512, gi_top=10):
+        """GI-region mask over a pre-sliced flattened level.
 
         Parity: /root/reference/mmdet/models/dense_heads/ld_head.py:613-638.
         """
@@ -187,6 +189,11 @@ class LDHead(GFLHead):
         losses['loss_kd_neg'] = jnp.zeros(())
 
         # feature imitation
+        if self.loss_im.loss_weight != 0 and student_feats is None:
+            raise ValueError(
+                'loss_im has nonzero weight but the detector did not pass '
+                'FPN features — set output_feature=True on the KD detector '
+                '(the reference fails on the missing argument too)')
         if self.loss_im.loss_weight != 0 and student_feats is not None:
             losses['loss_im'] = self._imitation_loss(
                 t, cls_flat, soft_label, pred_flat, soft_target,
@@ -220,7 +227,7 @@ class LDHead(GFLHead):
                     soft_label[:, lo:hi].reshape(-1, self.cls_out_channels),
                     pred_flat[:, lo:hi].reshape(-1, pred_flat.shape[-1]),
                     soft_target[:, lo:hi].reshape(-1, pred_flat.shape[-1]),
-                    centers, lo, hi)
+                    centers)
                 mse = ((xs - ts)**2).mean(axis=-1)
                 total = total + (mse * mask).sum() / jnp.maximum(
                     mask.sum(), 1.0)

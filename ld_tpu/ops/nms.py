@@ -81,11 +81,11 @@ def _cluster_nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         max_out: int, score_threshold: float = float('-inf'),
         overlap_mode: str = 'iou') -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS returning indices of kept boxes, padded to `max_out`.
+    """Greedy NMS returning indices of kept boxes.
 
-    Returns:
-        idx: (max_out,) int32 indices into the input (undefined where invalid).
-        valid: (max_out,) bool.
+    Returns (static shapes; K = min(max_out, num_boxes)):
+        idx: (K,) int32 indices into the input (undefined where invalid).
+        valid: (K,) bool.
     """
     n = boxes.shape[0]
     order_scores, order = jax.lax.top_k(scores, n)
@@ -134,8 +134,13 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
     cand_boxes = mlvl_bboxes[anchor_idx]
     cand_valid = top_scores > 0.0
 
+    # class-offset trick; the offset must exceed every coordinate (the
+    # reference derives it from boxes.max()), else giant boxes bleed into
+    # the next class's band
+    bound = jnp.maximum(jnp.asarray(box_coord_bound, cand_boxes.dtype),
+                        cand_boxes.max() + 1.0)
     offset_boxes = cand_boxes + (class_idx.astype(cand_boxes.dtype) *
-                                 box_coord_bound)[:, None]
+                                 bound)[:, None]
     keep = _cluster_nms_keep(offset_boxes, top_scores, iou_threshold,
                              valid=cand_valid)
 
@@ -183,11 +188,24 @@ def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
 
     offset_boxes = cand_boxes + (class_idx.astype(cand_boxes.dtype) *
                                  box_coord_bound)[:, None]
-    # DIoU-based suppression band: diou > beta * thr acts like iou > thr
-    diou = bbox_overlaps(offset_boxes, offset_boxes, mode='diou')
+    # reference diou(): IoU - D**beta with D = center distance^2 over the
+    # enclosing box diagonal^2 (bbox_nms.py diou(), beta=0.8); computed on
+    # class-offset boxes so cross-class pairs never interact
+    iou = bbox_overlaps(offset_boxes, offset_boxes)
+    cx = (offset_boxes[:, 0] + offset_boxes[:, 2]) / 2
+    cy = (offset_boxes[:, 1] + offset_boxes[:, 3]) / 2
+    enc_l = jnp.minimum(offset_boxes[:, None, 0], offset_boxes[None, :, 0])
+    enc_t = jnp.minimum(offset_boxes[:, None, 1], offset_boxes[None, :, 1])
+    enc_r = jnp.maximum(offset_boxes[:, None, 2], offset_boxes[None, :, 2])
+    enc_b = jnp.maximum(offset_boxes[:, None, 3], offset_boxes[None, :, 3])
+    d2 = ((cx[None, :] - cx[:, None])**2 + (cy[None, :] - cy[:, None])**2)
+    c2 = (enc_r - enc_l)**2 + (enc_b - enc_t)**2 + 1e-7
+    dist = jnp.clip(d2 / c2, 0.0, 1.0)
+    diou = iou - dist**beta
+
     kk = offset_boxes.shape[0]
     tri = jnp.triu(jnp.ones((kk, kk), bool), k=1)
-    suppress = ((diou > beta * iou_threshold) & tri).astype(jnp.float32)
+    suppress = ((diou > iou_threshold) & tri).astype(jnp.float32)
 
     def cond(state):
         keep, prev, it = state
@@ -201,11 +219,14 @@ def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
     keep, _, _ = jax.lax.while_loop(
         cond, body, (cand_valid, jnp.zeros((kk, ), bool), jnp.asarray(0)))
 
-    # Gaussian score voting among same-class candidates
-    same_class = class_idx[:, None] == class_idx[None, :]
-    iou_plain = bbox_overlaps(cand_boxes, cand_boxes)
-    w = top_scores[None, :] * jnp.exp(-(1.0 - iou_plain)**2 / sigma)
-    w = jnp.where(same_class & cand_valid[None, :] & (iou_plain > 0), w, 0.0)
+    # Gaussian score voting: box i is refined by every LOWER-scored
+    # candidate j >= i (triu incl. diagonal) whose cluster-DIoU > 0.7,
+    # weighted exp(-(1-diou)^2/sigma) * score_j (bbox_nms.py:168-170;
+    # suppressed candidates still vote — only rows are keep-masked there)
+    triu_inc = jnp.triu(jnp.ones((kk, kk), bool))
+    gate = triu_inc & (diou > 0.7) & cand_valid[None, :]
+    w = jnp.where(gate, jnp.exp(-(1.0 - diou)**2 / sigma) *
+                  top_scores[None, :], 0.0)
     voted = (w @ cand_boxes) / jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
 
     return _finalize(keep, top_scores, voted, class_idx, max_per_img)

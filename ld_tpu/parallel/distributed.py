@@ -35,8 +35,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
                 process_id=process_id if process_id is not None else (
                     int(os.environ['PROCESS_ID'])
                     if 'PROCESS_ID' in os.environ else None))
-        except (RuntimeError, ValueError):
-            pass  # already initialized or single-host tunnel
+        except RuntimeError as e:
+            # 'already initialized' is benign; anything else (failed
+            # coordinator handshake) must NOT silently fall back to
+            # single-host — that trains disjoint models per host
+            if 'already initialized' not in str(e).lower():
+                raise
+        # ValueError (malformed PROCESS_ID / NUM_PROCESSES env) propagates
     return dict(process_index=jax.process_index(),
                 process_count=jax.process_count(),
                 local_devices=len(jax.local_devices()),

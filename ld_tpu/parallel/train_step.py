@@ -62,7 +62,10 @@ def make_train_step(detector, optimizer, has_teacher: bool = False):
                     **kwargs)
             else:
                 losses = detector.forward_train(variables, batch, **kwargs)
-            total = sum(jnp.asarray(v) for v in losses.values())
+            # reference _parse_losses (base.py:185): only keys containing
+            # 'loss' join the objective; other entries are logged metrics
+            total = sum(jnp.asarray(v) for k, v in losses.items()
+                        if 'loss' in k)
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(

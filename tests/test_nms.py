@@ -92,8 +92,9 @@ def test_multiclass_nms_score_threshold():
 
 
 def test_voting_nms_refines_towards_cluster():
-    # cluster of 3 same-class boxes: survivor should be vote-averaged
-    boxes = jnp.asarray([[0., 0., 10., 10.], [2., 2., 12., 12.],
+    # reference gate: only neighbours with cluster-DIoU > 0.7 vote
+    # (bbox_nms.py:168 B*(B>0.7)) — use a tight cluster so voting fires
+    boxes = jnp.asarray([[0., 0., 10., 10.], [0.5, 0.5, 10.5, 10.5],
                          [1., 1., 11., 11.]])
     scores = jnp.asarray([[0.9], [0.8], [0.7]])
     dets, labels, valid = multiclass_nms_voting(
@@ -101,5 +102,5 @@ def test_voting_nms_refines_towards_cluster():
     v = np.asarray(valid)
     assert v.sum() >= 1
     top = np.asarray(dets)[0, :4]
-    # voted box lies strictly inside the span of the cluster
-    assert 0.0 < top[0] < 2.0 and 10.0 < top[2] < 12.0
+    # voted box pulled strictly inside the cluster span by its neighbours
+    assert 0.0 < top[0] < 1.0 and 10.0 < top[2] < 11.0

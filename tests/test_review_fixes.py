@@ -157,3 +157,32 @@ def test_trident_faster_rcnn_end_to_end():
     assert all(np.isfinite(float(x)) for x in losses.values())
     dets, labels, valid = det.forward_test(v, BATCH)
     assert dets.shape == (B, 10, 5)   # single test branch, original batch
+
+
+def test_voting_nms_reference_diou_semantics():
+    """diou = IoU - D^0.8 (NOT a scaled threshold): two same-class boxes
+    with IoU 0.55 and nearly coincident centers must BOTH survive at
+    iou_threshold=0.6 (reference bbox_nms.py diou + cluster loop)."""
+    from ld_tpu.ops.nms import multiclass_nms_voting
+    # concentric boxes: IoU = 25/49 ~ 0.51, centers identical -> D ~ 0
+    boxes = jnp.asarray([[10., 10., 24., 24.],     # 14x14
+                         [12., 12., 22., 22.]])    # 10x10, same center
+    scores = jnp.zeros((2, 3)).at[0, 1].set(0.9).at[1, 1].set(0.8)
+    dets, labels, valid = multiclass_nms_voting(
+        boxes, scores, 0.05, 0.6, max_per_img=5)
+    assert int(np.asarray(valid).sum()) == 2   # both kept (diou ~ 0.51)
+    # at a lower threshold the lower-scored one is suppressed
+    dets2, _, valid2 = multiclass_nms_voting(
+        boxes, scores, 0.05, 0.4, max_per_img=5)
+    assert int(np.asarray(valid2).sum()) == 1
+
+
+def test_multiclass_nms_dynamic_class_offset():
+    """Boxes beyond the static 4096 offset must not leak across classes."""
+    from ld_tpu.ops.nms import multiclass_nms
+    boxes = jnp.asarray([[4500., 10., 4600., 110.],   # class 0, huge x
+                         [400., 10., 500., 110.]])    # class 1 elsewhere
+    scores = jnp.zeros((2, 2)).at[0, 0].set(0.9).at[1, 1].set(0.8)
+    dets, labels, valid = multiclass_nms(boxes, scores, 0.05, 0.5,
+                                         max_per_img=5)
+    assert int(np.asarray(valid).sum()) == 2
