@@ -61,7 +61,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, pad_hw, max_gts: int = 100,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = tuple(pad_hw)
@@ -70,6 +70,7 @@ class DataLoader:
             getattr(dataset, 'flag', np.zeros(len(dataset), np.uint8)),
             batch_size, seed=seed, shuffle=shuffle, drop_last=drop_last)
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -81,11 +82,29 @@ class DataLoader:
         return (n + b - 1) // b
 
     def _produce(self, batches, q):
+        # num_workers>0: per-sample decode/augment fans out over a thread
+        # pool. The hot host work (JPEG decode in cv2, the fused native prep
+        # kernel via ctypes) releases the GIL, so this scales with cores —
+        # the SPMD analogue of the reference's worker *processes*
+        # (datasets/builder.py:76 workers_per_gpu), without pickling batches
+        # across a process boundary. Batch order stays deterministic; only
+        # intra-batch numpy RNG interleaving varies (as with the reference's
+        # unseeded worker augmentations).
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             for idx in batches:
-                samples = [self.dataset[int(i)] for i in idx]
+                if pool is not None:
+                    samples = list(pool.map(
+                        lambda i: self.dataset[int(i)], idx))
+                else:
+                    samples = [self.dataset[int(i)] for i in idx]
                 q.put(collate_batch(samples, self.pad_hw, self.max_gts))
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
             q.put(None)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -104,9 +123,17 @@ class DataLoader:
 def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
                      pad_hw=(800, 1344), max_gts: int = 100,
                      shuffle: bool = True, seed: int = 0,
-                     drop_last: bool = False) -> DataLoader:
+                     drop_last: bool = False,
+                     num_workers: Optional[int] = None) -> DataLoader:
     """Global-batch loader: batch = samples_per_gpu * num_replicas
-    (the SPMD equivalent of per-GPU loaders + DistributedGroupSampler)."""
-    return DataLoader(dataset, samples_per_gpu * num_replicas, pad_hw,
+    (the SPMD equivalent of per-GPU loaders + DistributedGroupSampler).
+
+    num_workers=None auto-sizes the decode thread pool to the host
+    (cpu_count-1, capped at the batch size; 0 on single-core hosts)."""
+    batch = samples_per_gpu * num_replicas
+    if num_workers is None:
+        import os
+        num_workers = min(max((os.cpu_count() or 1) - 1, 0), batch)
+    return DataLoader(dataset, batch, pad_hw,
                       max_gts, shuffle=shuffle, seed=seed,
-                      drop_last=drop_last)
+                      drop_last=drop_last, num_workers=num_workers)

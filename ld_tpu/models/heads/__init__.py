@@ -13,7 +13,8 @@ from .ssd_head import SSDHead, SSDHeadNet, SSDAnchorGenerator
 from .yolo_head import YOLOV3Head, YOLOV3HeadNet, YOLOV3Neck
 from .mask_head import FCNMaskHead, FCNMaskHeadNet
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, LDATSSHead
-from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet, LDFCOSHead
+from .fcos_gfl_head import (FCOSGFLHead, FCOSGFLHeadNet, LDFCOSCompareHead,
+                            LDFCOSHead)
 from .retina_gfl_head import RetinaGFLHead, RetinaGFLHeadNet, LDRetinaHead
 from .fsaf_head import FSAFHead
 from .free_anchor_head import FreeAnchorRetinaHead
@@ -44,7 +45,7 @@ from .grid_point_roi import (GridRoIHead, PointRendRoIHead, GridHeadNet,
 
 __all__ = ['GFLHead', 'GFLHeadNet', 'LDHead', 'GFocalHead', 'GFocalHeadNet',
            'LDv2Head', 'ATSSGFLHead', 'ATSSGFLHeadNet', 'LDATSSHead',
-           'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSHead', 'RetinaGFLHead',
+           'FCOSGFLHead', 'FCOSGFLHeadNet', 'LDFCOSCompareHead', 'LDFCOSHead', 'RetinaGFLHead',
            'RetinaGFLHeadNet', 'LDRetinaHead', 'IMHead', 'IMv2Head', 'RPNHead', 'RPNHeadNet', 'StandardRoIHead', 'Shared2FCBBoxHeadNet', 'SSDHead', 'SSDHeadNet',
            'SSDAnchorGenerator', 'FCNMaskHead', 'FCNMaskHeadNet', 'YOLOV3Head',
            'YOLOV3HeadNet', 'YOLOV3Neck', 'CascadeRoIHead', 'RetinaHead', 'RetinaHeadNet', 'FCOSHead', 'ATSSHead', 'FCOSHeadNet',

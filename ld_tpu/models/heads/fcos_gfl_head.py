@@ -304,3 +304,31 @@ class LDFCOSHead(FCOSGFLHead):
         losses['loss_cls_kd'] = self.loss_kd.loss_weight * (
             kd_el * posf / per_anchor_norm[None, :]).sum()
         return losses
+
+
+@HEADS.register_module()
+class LDFCOSCompareHead(LDFCOSHead):
+    """The reference's second LDFCOSHead ablation variant.
+
+    /root/reference/mmdet/models/dense_heads/compare.py:14 is a byte-level
+    near-duplicate of ld_fcos_head.py (same losses, same target assignment,
+    same commented-out ``assign_neg``); the only semantic difference is that
+    classification KD defaults off (``loss_kd=None``, compare.py:36). In the
+    reference both classes register the same name ``LDFCOSHead`` — whichever
+    imports last shadows the other — so here the ablation gets its own name
+    and disables the cls-KD term by default (pass ``loss_kd=...`` to enable).
+    """
+
+    def __init__(self, num_classes, in_channels, loss_ld=None, loss_kd=None,
+                 **kwargs):
+        super().__init__(num_classes, in_channels, loss_ld=loss_ld,
+                         loss_kd=loss_kd, **kwargs)
+        self.cls_kd_enabled = loss_kd is not None
+
+    def loss(self, outputs, batch, featmap_sizes, soft_teacher,
+             student_feats=None, teacher_feats=None):
+        losses = super().loss(outputs, batch, featmap_sizes, soft_teacher,
+                              student_feats, teacher_feats)
+        if not self.cls_kd_enabled:
+            losses['loss_cls_kd'] = jnp.zeros(())
+        return losses

@@ -88,6 +88,19 @@ def test_loader_deterministic_and_static():
         assert b['image'].shape == (4, 64, 96, 3)  # full batches (padded)
 
 
+def test_loader_thread_pool_matches_serial():
+    ds = SyntheticDetectionDataset(num_images=10, hw=(64, 96), pipeline=[
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+        dict(type='Pad', size_divisor=32),
+    ])
+    serial = DataLoader(ds, batch_size=4, pad_hw=(64, 96), max_gts=8, seed=3)
+    pooled = DataLoader(ds, batch_size=4, pad_hw=(64, 96), max_gts=8, seed=3,
+                        num_workers=4)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a['image'], b['image'])
+        np.testing.assert_array_equal(a['gt_bboxes'], b['gt_bboxes'])
+
+
 def test_group_sampler_homogeneous_batches():
     ds = SyntheticDetectionDataset(num_images=16, hw=(64, 96), pipeline=[])
     ds.flag = np.array([0, 1] * 8, np.uint8)

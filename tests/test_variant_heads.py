@@ -62,6 +62,13 @@ def test_ld_fcos():
         maxiou, ld=True, teacher_head=fcos_head)
 
 
+def test_ld_fcos_compare():
+    # compare.py ablation variant: cls KD off by default (loss_kd=None)
+    run('ld_fcos_compare', dict(fcos_head, type='LDFCOSCompareHead',
+        loss_ld=dict(type='KnowledgeDistillationKLDivLoss', loss_weight=0.25, T=10)),
+        maxiou, ld=True, teacher_head=fcos_head)
+
+
 def test_retina_gfl():
     run('retina', ret_head, maxiou)
 
