@@ -34,15 +34,12 @@ def eval_detector(detector, variables, dataset, samples_per_dev: int = 4,
 
     results = [None] * len(dataset)
     seen = 0
-    for batch in loader:
-        sb = shard_batch(dict(image=batch['image'], img_hw=batch['img_hw'],
-                              scale_factor=batch['scale_factor']), mesh)
-        dets, labels, valid = infer(variables, sb['image'], sb['img_hw'],
-                                    sb['scale_factor'])
-        dets = np.asarray(dets)
-        labels = np.asarray(labels)
-        valid = np.asarray(valid)
-        for i, img_id in enumerate(batch['img_ids']):
+
+    def drain(img_ids, outs):
+        """Device outputs -> per-image host results (forces the transfer)."""
+        nonlocal seen
+        dets, labels, valid = (np.asarray(o) for o in outs)
+        for i, img_id in enumerate(img_ids):
             # loaders pad the tail by repeating samples; keep first result
             results_idx = _index_of(dataset, int(img_id))
             if results_idx is None or results[results_idx] is not None:
@@ -50,8 +47,23 @@ def eval_detector(detector, variables, dataset, samples_per_dev: int = 4,
             m = valid[i]
             results[results_idx] = dict(boxes=dets[i][m], labels=labels[i][m])
             seen += 1
+
+    # 1-deep pipeline: dispatch batch N+1 (async) BEFORE transferring batch
+    # N's results, so host-side decode/post-processing overlaps device
+    # compute instead of serializing with it
+    pending = None
+    for batch in loader:
+        sb = shard_batch(dict(image=batch['image'], img_hw=batch['img_hw'],
+                              scale_factor=batch['scale_factor']), mesh)
+        outs = infer(variables, sb['image'], sb['img_hw'],
+                     sb['scale_factor'])
+        if pending is not None:
+            drain(*pending)
+        pending = (batch['img_ids'], outs)
         if max_images and seen >= max_images:
             break
+    if pending is not None:
+        drain(*pending)
     for i, r in enumerate(results):
         if r is None:
             results[i] = dict(boxes=np.zeros((0, 5), np.float32),

@@ -21,6 +21,7 @@ import numpy as np
 from ld_tpu.data import build_dataloader, build_dataset
 from ld_tpu.models import build_detector
 from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
+                             device_prefetch,
                              create_train_state, jit_train_step,
                              make_train_step, shard_batch)
 from ld_tpu.utils.checkpoint import (load_checkpoint, load_variables,
@@ -98,7 +99,8 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         logger.info(f'resumed from step {int(state.step)}')
 
     step_fn = jit_train_step(make_train_step(detector, optimizer,
-                                             has_teacher=has_teacher),
+                                             has_teacher=has_teacher,
+                                             remat=bool(cfg.get('remat'))),
                              mesh, has_teacher=has_teacher)
 
     log_interval = log_interval or cfg.get('log_config', {}).get(
@@ -115,9 +117,7 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     start_epoch = global_step // max(steps_per_epoch, 1)
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
-        for batch in loader:
-            batch = shard_batch(
-                {k: v for k, v in batch.items() if k != 'img_ids'}, mesh)
+        for batch in device_prefetch(loader, mesh):
             state, metrics = step_fn(state, batch, teacher_vars) \
                 if has_teacher else step_fn(state, batch)
             global_step += 1

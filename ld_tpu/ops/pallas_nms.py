@@ -79,14 +79,14 @@ def pallas_nms_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
         _nms_fixpoint_kernel,
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else
+            pl.BlockSpec(memory_space=pl.ANY if interpret else
                          pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else
+            pl.BlockSpec(memory_space=pl.ANY if interpret else
                          pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else
+            pl.BlockSpec(memory_space=pl.ANY if interpret else
                          pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else
                                pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,

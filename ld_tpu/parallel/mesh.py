@@ -49,3 +49,37 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """Place a host batch dict onto the mesh, sharded along the batch dim."""
     sh = data_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2, axis: str = 'data',
+                    drop_keys: Sequence[str] = ('img_ids', )):
+    """Wrap a host batch iterator with a device-side look-ahead buffer.
+
+    Eagerly `shard_batch`es up to `size` batches before the consumer asks
+    for them, so the H2D transfer of batch N+1 (and the producer thread's
+    collate) overlaps the device compute of step N. jax.device_put is
+    async, so this never blocks the calling thread; it just keeps the
+    transfer queue primed (the TPU-native analogue of the reference's
+    pin_memory + worker prefetch in datasets/builder.py:76).
+    """
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def put(batch):
+        return shard_batch(
+            {k: v for k, v in batch.items() if k not in drop_keys},
+            mesh, axis)
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

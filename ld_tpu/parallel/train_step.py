@@ -40,8 +40,15 @@ def create_train_state(detector, rng, optimizer,
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(detector, optimizer, has_teacher: bool = False):
-    """Build the pure train-step function (to be jitted/pjitted by caller)."""
+def make_train_step(detector, optimizer, has_teacher: bool = False,
+                    remat: bool = False):
+    """Build the pure train-step function (to be jitted/pjitted by caller).
+
+    remat=True rematerializes the forward pass during backward
+    (jax.checkpoint): activation memory drops from O(depth) to O(1) at
+    ~1/3 extra forward FLOPs — the knob that lets the global batch grow
+    past HBM on deep students (the functional equivalent of torch
+    activation checkpointing, which the reference never ships)."""
     import inspect
     takes_rng = 'rng' in inspect.signature(
         detector.forward_train).parameters
@@ -68,6 +75,8 @@ def make_train_step(detector, optimizer, has_teacher: bool = False):
                         if 'loss' in k)
             return total, losses
 
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,

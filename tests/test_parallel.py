@@ -80,6 +80,41 @@ def test_dp8_matches_dp1():
     assert worst < 1e-4, worst
 
 
+def test_remat_step_is_exact():
+    # jax.checkpoint rematerialization must not change the optimization
+    det = build_detector(_cfg())
+    mesh = create_mesh(('data', ), devices=jax.devices()[:1])
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    import optax
+    opt = optax.sgd(0.01, momentum=0.9)
+    state0 = create_train_state(det, jax.random.PRNGKey(0), opt,
+                                (1, 64, 96, 3))
+    batch = shard_batch(_batch(), mesh)
+    s_exact, m_exact = jit_train_step(make_train_step(det, opt), mesh)(
+        state0, batch)
+    state0 = create_train_state(det, jax.random.PRNGKey(0), opt,
+                                (1, 64, 96, 3))
+    s_remat, m_remat = jit_train_step(
+        make_train_step(det, opt, remat=True), mesh)(state0, batch)
+    np.testing.assert_allclose(float(m_exact['loss']),
+                               float(m_remat['loss']), rtol=1e-6)
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(s_exact.params),
+                                jax.tree_util.tree_leaves(s_remat.params)))
+    assert worst < 1e-6, worst
+
+
+def test_device_prefetch_order_and_content():
+    from ld_tpu.parallel import device_prefetch
+    mesh = create_mesh(('data', ), devices=jax.devices()[:2])
+    batches = [_batch() for _ in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for got, want in zip(out, batches):
+        np.testing.assert_array_equal(np.asarray(got['image']),
+                                      want['image'])
+
+
 def test_frozen_mask_paths():
     det = build_detector(_cfg())
     variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
