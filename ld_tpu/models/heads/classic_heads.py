@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ld_tpu.ops import anchor_center, distance2bbox
 from ld_tpu.ops.coder import build_coder
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .atss_gfl_head import ATSSGFLHead, ATSSGFLHeadNet, centerness_target
 from .fcos_gfl_head import FCOSGFLHead, FCOSGFLHeadNet
@@ -160,7 +160,7 @@ class FCOSHead(FCOSGFLHead):
                 dist = dist_list[lvl].reshape(-1, 4) * s
                 pts = points[lo:lo + n_lvl]
                 if nms_pre > 0 and n_lvl > nms_pre:
-                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    _, topk = topk_flat(scores.max(-1), nms_pre)
                     scores, dist, pts = scores[topk], dist[topk], pts[topk]
                 boxes_all.append(distance2bbox(pts, dist, max_shape=hw))
                 scores_all.append(scores)
@@ -284,7 +284,7 @@ class ATSSHead(ATSSGFLHead):
                 anchors = mlvl_anchors[lvl]
                 n = scores.shape[0]
                 if nms_pre > 0 and n > nms_pre:
-                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    _, topk = topk_flat(scores.max(-1), nms_pre)
                     scores, reg, anchors = scores[topk], reg[topk], \
                         anchors[topk]
                 boxes_all.append(self.coder.decode(anchors, reg,

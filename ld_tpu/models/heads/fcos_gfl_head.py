@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ld_tpu.ops import distance2bbox, integral
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .gfl_head import ConvGNBlock, GFLHead, _CLS_BIAS_INIT, flatten_levels
 from .atss_gfl_head import ATSSGFLHeadNet
@@ -233,7 +233,7 @@ class FCOSGFLHead(GFLHead):
                     -1, 4 * (self.reg_max + 1)), self.reg_max) * s
                 pts = points[lo:lo + n_lvl]
                 if nms_pre > 0 and n_lvl > nms_pre:
-                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    _, topk = topk_flat(scores.max(-1), nms_pre)
                     scores, dist, pts = scores[topk], dist[topk], pts[topk]
                 boxes_all.append(distance2bbox(pts, dist, max_shape=hw))
                 scores_all.append(scores)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .gfl_head import ConvGNBlock, _CLS_BIAS_INIT, flatten_levels
 
@@ -176,7 +176,7 @@ class FoveaHead:
                 t = jnp.exp(jnp.clip(reg_list[lvl].reshape(-1, 4), -4, 4))
                 pts = points[lo:lo + n_lvl]
                 if nms_pre > 0 and n_lvl > nms_pre:
-                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    _, topk = topk_flat(scores.max(-1), nms_pre)
                     scores, t, pts = scores[topk], t[topk], pts[topk]
                 x1 = jnp.clip(pts[:, 0] - t[:, 0] * base, 0, hw[1])
                 y1 = jnp.clip(pts[:, 1] - t[:, 1] * base, 0, hw[0])

@@ -30,7 +30,7 @@ import numpy as np
 
 from ld_tpu.ops import (AnchorGenerator, ATSSAssigner, anchor_center,
                         bbox2distance, bbox_overlaps, distance2bbox, integral)
-from ld_tpu.ops.nms import multiclass_nms, multiclass_nms_voting
+from ld_tpu.ops.nms import multiclass_nms, multiclass_nms_voting, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES, ASSIGNERS
 
 _CLS_BIAS_INIT = float(-math.log((1 - 0.01) / 0.01))  # prior prob 0.01
@@ -305,7 +305,7 @@ class GFLHead:
             n = scores.shape[0]
             if nms_pre > 0 and n > nms_pre:
                 max_scores = scores.max(axis=-1)
-                _, topk = jax.lax.top_k(max_scores, nms_pre)
+                _, topk = topk_flat(max_scores, nms_pre)
                 scores = scores[topk]
                 dist = dist[topk]
                 anchors = anchors[topk]

@@ -26,7 +26,7 @@ from ld_tpu.ops.coder import build_coder
 from ld_tpu.ops.deform_conv import DeformConv
 from ld_tpu.ops.extra_assigners import ApproxMaxIoUAssigner
 from ld_tpu.ops.max_iou_assigner import MaxIoUAssigner
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .gfl_head import _CLS_BIAS_INIT
 from .retina_gfl_head import flatten_levels_anchors
@@ -305,7 +305,7 @@ class GARetinaHead:
             keep = jax.nn.sigmoid(loc) >= self.loc_filter_thr
             scores = jax.nn.sigmoid(cls_p) * keep[:, None]
             npre = min(cfg.get('nms_pre', 1000), scores.shape[0])
-            top, idx = jax.lax.top_k(scores.max(-1), npre)
+            top, idx = topk_flat(scores.max(-1), npre)
             boxes = self.coder.decode(ganch[idx], reg_p[idx], max_shape=hw)
             sc = scores[idx]
             if rescale and sf is not None:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ld_tpu.ops.boxes import bbox_overlaps
 from ld_tpu.ops.coder import build_coder
 from ld_tpu.ops.max_iou_assigner import MaxIoUAssigner
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .atss_gfl_head import ATSSGFLHead
 from .classic_heads import ATSSHeadNet
@@ -225,7 +225,7 @@ class PAAHead(ATSSGFLHead):
                 nms_scores = jnp.sqrt(
                     jnp.clip(scores * iou_p[:, None], 0.0))
                 if nms_pre > 0 and scores.shape[0] > nms_pre:
-                    _, topk = jax.lax.top_k(nms_scores.max(-1), nms_pre)
+                    _, topk = topk_flat(nms_scores.max(-1), nms_pre)
                     nms_scores, reg, a = nms_scores[topk], reg[topk], a[topk]
                 boxes_all.append(self.coder.decode(a, reg, max_shape=hw))
                 scores_all.append(nms_scores)

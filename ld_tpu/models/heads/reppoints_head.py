@@ -23,7 +23,7 @@ import numpy as np
 from ld_tpu.ops.deform_conv import DeformConv
 from ld_tpu.ops.extra_assigners import PointAssigner
 from ld_tpu.ops.max_iou_assigner import MaxIoUAssigner
-from ld_tpu.ops.nms import multiclass_nms
+from ld_tpu.ops.nms import multiclass_nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 from .gfl_head import ConvGNBlock, _CLS_BIAS_INIT
 
@@ -251,7 +251,7 @@ class RepPointsHead:
                 ctr = centers[lo:lo + n_lvl]
                 s = strides[lo:lo + n_lvl]
                 if nms_pre > 0 and n_lvl > nms_pre:
-                    _, topk = jax.lax.top_k(scores.max(-1), nms_pre)
+                    _, topk = topk_flat(scores.max(-1), nms_pre)
                     scores, sbox, ctr, s = (scores[topk], sbox[topk],
                                             ctr[topk], s[topk])
                 boxes = sbox * s[:, None] + jnp.concatenate([ctr, ctr], -1)

@@ -3,6 +3,7 @@ from .boxes import (bbox_overlaps, distance2bbox, bbox2distance,
 from .anchors import (AnchorGenerator, PointGenerator,
                       LegacyAnchorGenerator)
 from .integral import integral
+from .nms import topk_flat
 from .atss_assigner import ATSSAssigner, AssignResult
 from .max_iou_assigner import MaxIoUAssigner
 from .extra_assigners import (HungarianAssigner, PointAssigner,
@@ -11,7 +12,7 @@ from .extra_assigners import (HungarianAssigner, PointAssigner,
 __all__ = [
     'bbox_overlaps', 'distance2bbox', 'bbox2distance', 'anchor_center',
     'bbox_flip', 'AnchorGenerator', 'PointGenerator',
-    'LegacyAnchorGenerator', 'integral',
+    'LegacyAnchorGenerator', 'integral', 'topk_flat',
     'ATSSAssigner', 'AssignResult', 'MaxIoUAssigner', 'HungarianAssigner',
     'PointAssigner', 'CenterRegionAssigner'
 ]

@@ -1,4 +1,5 @@
 """NMS kernels vs a naive greedy oracle."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -104,3 +105,17 @@ def test_voting_nms_refines_towards_cluster():
     top = np.asarray(dets)[0, :4]
     # voted box pulled strictly inside the cluster span by its neighbours
     assert 0.0 < top[0] < 1.0 and 10.0 < top[2] < 11.0
+
+
+def test_topk_flat_exact_vs_lax():
+    from ld_tpu.ops.nms import topk_flat
+    rs = np.random.RandomState(3)
+    for n, k in [(400000, 1024), (16800, 1000), (5000, 1024), (8191, 64),
+                 (4097, 4096), (100, 10)]:
+        x = jnp.asarray(rs.rand(n).astype(np.float32))
+        v_ref, _ = jax.lax.top_k(x, k)
+        v, idx = topk_flat(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        # returned indices must address the returned values
+        np.testing.assert_array_equal(np.asarray(x)[np.asarray(idx)],
+                                      np.asarray(v_ref))
