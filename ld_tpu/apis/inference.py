@@ -44,15 +44,23 @@ _TEST_PIPELINE = [
 
 def inference_detector(detector, variables, img: Union[str, np.ndarray],
                        score_thr: float = 0.0,
-                       pad_hw: Tuple[int, int] = (800, 1344)) -> Dict:
+                       pad_hw: Tuple[int, int] = (800, 1344),
+                       img_scale: Optional[Tuple[int, int]] = None) -> Dict:
     """Detect objects in one image (path or BGR HWC array).
+
+    img_scale: keep-ratio resize target (max_long, max_short); defaults to
+    the mmdet test scale (1333, 800). Must fit inside `pad_hw` after /32
+    padding.
 
     Returns dict(boxes=(n, 5) xyxy+score in original image coords, labels).
     """
     if isinstance(img, str):
         import cv2
         img = cv2.imread(img)
-    pipeline = Compose(_TEST_PIPELINE)
+    steps = [dict(t) for t in _TEST_PIPELINE]
+    if img_scale is not None:
+        steps[0]['img_scale'] = tuple(img_scale)
+    pipeline = Compose(steps)
     results = pipeline(dict(img=img, img_shape=img.shape,
                             ori_shape=img.shape))
     batch = collate_batch([results], pad_hw, max_gts=1)
@@ -101,6 +109,6 @@ async def async_inference_detector(detector, variables, img, **kwargs):
     executor so callers can pipeline requests.
     """
     import asyncio
-    loop = asyncio.get_event_loop()
+    loop = asyncio.get_running_loop()
     return await loop.run_in_executor(
         None, lambda: inference_detector(detector, variables, img, **kwargs))

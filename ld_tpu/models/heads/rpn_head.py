@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ld_tpu.ops import AnchorGenerator, MaxIoUAssigner
 from ld_tpu.ops.coder import build_coder
-from ld_tpu.ops.nms import nms
+from ld_tpu.ops.nms import nms, topk_flat
 from ld_tpu.utils.registry import HEADS, LOSSES
 
 
@@ -193,7 +193,7 @@ class RPNHead:
                 anchors = mlvl_anchors[lvl]
                 n = scores.shape[0]
                 if nms_pre > 0 and n > nms_pre:
-                    scores, topk = jax.lax.top_k(scores, nms_pre)
+                    scores, topk = topk_flat(scores, nms_pre)
                     reg = reg[topk]
                     anchors = anchors[topk]
                 boxes = self.coder.decode(anchors, reg,

@@ -1,0 +1,120 @@
+"""Training-step wall-clock benchmark (device-side scanned steps).
+
+Counterpart of tools/analysis_tools/benchmark.py for the TRAIN path
+(the reference publishes no train step-time; its speed story is
+README.md:44's "no inference cost"). Measures the full compiled step —
+student forward+backward, frozen-teacher forward, losses, SGD — by
+scanning K steps inside one jit call with the TrainState as the scan
+carry, so weights cross the host<->device link once and two-point
+differencing (K vs 3K) cancels the constant dispatch/upload cost. This
+is the measurement recipe that works through relay-attached TPUs where
+per-dispatch argument re-upload would otherwise dominate (docs/PERF.md).
+
+Usage:
+    python tools/analysis_tools/benchmark_train.py CONFIG \
+        [--batch 8] [--hw 800 1344] [--k 4] [--remat] [--gts 40]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('config')
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--hw', type=int, nargs=2, default=(800, 1344))
+    ap.add_argument('--k', type=int, default=4,
+                    help='steps per timed jit call')
+    ap.add_argument('--gts', type=int, default=40,
+                    help='padded GT boxes per image')
+    ap.add_argument('--remat', action='store_true')
+    ap.add_argument('--fp32-towers', action='store_true',
+                    help='disable the default bf16 backbone/neck compute')
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '..', '..', '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', os.path.abspath(cache))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import optax
+    from ld_tpu import Config
+    from ld_tpu.models import build_detector
+    from ld_tpu.parallel import create_train_state, make_train_step
+
+    H, W = args.hw
+    B, K = args.batch, args.k
+    cfg = Config.fromfile(args.config)
+    mc = cfg.model.to_dict() if hasattr(cfg.model, 'to_dict') else \
+        dict(cfg.model)
+    if not args.fp32_towers:
+        for key in ('backbone', 'neck'):
+            if key in mc and isinstance(mc[key], dict):
+                mc[key]['dtype'] = jnp.bfloat16
+    det = build_detector(mc)
+    has_teacher = hasattr(det, 'teacher')
+
+    opt = optax.sgd(learning_rate=0.01, momentum=0.9)
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               input_shape=(1, 64, 96, 3))
+    tv = det.init_teacher_variables(jax.random.PRNGKey(1), (1, 64, 96, 3)) \
+        if has_teacher else None
+    step_fn = make_train_step(det, opt, has_teacher=has_teacher,
+                              remat=args.remat)
+
+    rs = np.random.RandomState(0)
+    G = args.gts
+    gt = np.zeros((B, G, 4), np.float32)
+    gt[:, :, :2] = rs.uniform(0, 300, (B, G, 2))
+    gt[:, :, 2:] = gt[:, :, :2] + rs.uniform(60, 400, (B, G, 2))
+    batch = dict(
+        image=jnp.asarray(rs.randn(B, H, W, 3).astype(np.float32)),
+        gt_bboxes=jnp.asarray(gt),
+        gt_labels=jnp.asarray(rs.randint(0, 80, (B, G)).astype(np.int32)),
+        gt_valid=jnp.asarray(np.ones((B, G), bool)),
+        img_hw=jnp.asarray([[H, W]] * B, jnp.float32))
+
+    def loop(n):
+        @jax.jit
+        def run(state, batch, tv):
+            def body(s, _):
+                s2, metrics = step_fn(s, batch, tv) if has_teacher else \
+                    step_fn(s, batch)
+                return s2, metrics['loss']
+            return jax.lax.scan(body, state, None, length=n)
+        return run
+
+    r1, r3 = loop(K), loop(3 * K)
+    print('compiling...', flush=True)
+    t0 = time.perf_counter()
+    _, losses = r1(state, batch, tv)
+    np.asarray(losses)
+    print(f'compile+first: {time.perf_counter() - t0:.1f}s '
+          f'loss={np.asarray(losses)[-1]:.3f}', flush=True)
+    _, losses = r3(state, batch, tv)
+    np.asarray(losses)
+
+    t0 = time.perf_counter()
+    _, losses = r1(state, batch, tv)
+    np.asarray(losses)
+    t1 = time.perf_counter()
+    _, losses = r3(state, batch, tv)
+    np.asarray(losses)
+    t2 = time.perf_counter()
+    per_step = ((t2 - t1) - (t1 - t0)) / (2 * K)
+    print(f'{os.path.basename(args.config)} train step @ batch {B} '
+          f'{H}x{W}{" remat" if args.remat else ""}: '
+          f'{per_step * 1000:.1f} ms/step = {B / per_step:.1f} img/s/chip')
+
+
+if __name__ == '__main__':
+    main()
