@@ -24,9 +24,12 @@ test_pipeline = [
     dict(type='Collect', keys=['img']),
 ]
 # static-shape controls for the TPU input feed (no reference equivalent —
-# XLA needs fixed shapes; images are padded to one canonical bucket)
+# XLA needs fixed shapes). One pad bucket per orientation: aspect-grouped
+# batches (loader.py GroupBatchSampler) are orientation-homogeneous, so a
+# landscape batch pads to (800, 1344) and a portrait one to (1344, 800) —
+# the (1333, 800) keep-ratio test scale makes portrait heights up to 1333.
 max_gts_per_image = 100
-pad_to = (800, 1344)
+pad_to = [(800, 1344), (1344, 800)]
 data = dict(
     samples_per_gpu=2,
     workers_per_gpu=2,

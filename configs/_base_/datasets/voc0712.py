@@ -21,7 +21,7 @@ test_pipeline = [
     dict(type='Pad', size_divisor=32),
     dict(type='Collect', keys=['img']),
 ]
-pad_to = (608, 1024)
+pad_to = [(608, 1024), (1024, 608)]  # one bucket per orientation
 max_gts_per_image = 60
 data = dict(
     samples_per_gpu=2,

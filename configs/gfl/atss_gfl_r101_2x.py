@@ -1,6 +1,6 @@
 # ATSS-GFL ResNet-101 2x — teacher for LD-ATSS.
 # Parity: /root/reference/configs/gfl/atss_gfl_r101_2x.py.
-_base_ = ['./gfl_r50_fpn_1x_coco.py']
+_base_ = ['./gfl_r50_fpn_1x_coco.py', '../_base_/mstrain_480_800.py']
 model = dict(
     pretrained='torchvision://resnet101',
     backbone=dict(depth=101),

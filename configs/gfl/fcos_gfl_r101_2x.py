@@ -1,6 +1,6 @@
 # FCOS-GFL ResNet-101 2x — teacher for LD-FCOS.
 # Parity: the FCOS teacher used by /root/reference/configs/ld/ld_r50_fcos_r101_1x.py.
-_base_ = ['./gfl_r50_fpn_1x_coco.py']
+_base_ = ['./gfl_r50_fpn_1x_coco.py', '../_base_/mstrain_480_800.py']
 model = dict(
     pretrained='torchvision://resnet101',
     backbone=dict(depth=101),

@@ -1,5 +1,5 @@
 # GFL X-101-32x4d 2x.
-_base_ = ['./gfl_r50_fpn_1x_coco.py']
+_base_ = ['./gfl_r50_fpn_1x_coco.py', '../_base_/mstrain_480_800.py']
 model = dict(
     pretrained='torchvision://resnext101_32x4d',
     backbone=dict(

@@ -44,13 +44,14 @@ _TEST_PIPELINE = [
 
 def inference_detector(detector, variables, img: Union[str, np.ndarray],
                        score_thr: float = 0.0,
-                       pad_hw: Tuple[int, int] = (800, 1344),
+                       pad_hw=((800, 1344), (1344, 800)),
                        img_scale: Optional[Tuple[int, int]] = None) -> Dict:
     """Detect objects in one image (path or BGR HWC array).
 
     img_scale: keep-ratio resize target (max_long, max_short); defaults to
     the mmdet test scale (1333, 800). Must fit inside `pad_hw` after /32
-    padding.
+    padding; pad_hw may be one (H, W) or a list of static buckets (default:
+    one per orientation — the smallest fitting bucket is used).
 
     Returns dict(boxes=(n, 5) xyxy+score in original image coords, labels).
     """

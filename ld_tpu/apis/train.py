@@ -67,17 +67,25 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     mesh = create_mesh(('data', ))
     n_dev = mesh.devices.size
     samples_per_dev = cfg.data.get('samples_per_gpu', 2)
-    pad_hw = tuple(cfg.get('pad_to', (800, 1344)))
+    pad_hw = cfg.get('pad_to', (800, 1344))
+    # pad_to may be a list of static shape buckets (multi-scale training):
+    # each batch pads to its smallest fitting bucket; the step compiles once
+    # per bucket. Init/eval use the largest bucket.
+    buckets = list(map(tuple, pad_hw)) \
+        if isinstance(pad_hw[0], (tuple, list)) else [tuple(pad_hw)]
+    pad_hw = buckets if len(buckets) > 1 else buckets[0]
+    max_pad_hw = max(buckets, key=lambda s: s[0] * s[1])
     max_gts = cfg.get('max_gts_per_image', 100)
     loader = build_dataloader(dataset, samples_per_dev, n_dev, pad_hw,
-                              max_gts, seed=cfg.get('seed', 0))
+                              max_gts, seed=cfg.get('seed', 0),
+                              batch_scales=cfg.get('batch_scales'))
     steps_per_epoch = len(loader)
     max_epochs = cfg.get('runner', {}).get('max_epochs', 12)
 
     detector = build_detector(cfg.model)
     has_teacher = hasattr(detector, 'teacher')
 
-    init_shape = (1, ) + pad_hw + (3, )
+    init_shape = (1, ) + max_pad_hw + (3, )
     schedule = build_lr_schedule(cfg.optimizer['lr'], cfg.get('lr_config', {}),
                                  steps_per_epoch, max_epochs)
     variables = detector.init_variables(rng, init_shape)

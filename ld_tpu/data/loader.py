@@ -20,7 +20,22 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from .transforms import collate_batch
+from .transforms import FusedPreprocess, Resize, collate_batch
+
+
+def _scale_carriers(dataset) -> List:
+    """Resize/FusedPreprocess transforms reachable from a dataset (or
+    wrapper), for per-batch scale override."""
+    out = []
+    for ds in getattr(dataset, 'datasets', None) or [dataset]:
+        ds = getattr(ds, 'dataset', ds)  # Repeat/ClassBalanced wrappers
+        pipeline = getattr(ds, 'pipeline', None)
+        for t in getattr(pipeline, 'transforms', []):
+            if isinstance(t, FusedPreprocess):
+                out.append(t._scale_sampler)
+            elif isinstance(t, Resize):
+                out.append(t)
+    return out
 
 
 class GroupBatchSampler:
@@ -61,10 +76,26 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, pad_hw, max_gts: int = 100,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = False, num_workers: int = 0):
+                 drop_last: bool = False, num_workers: int = 0,
+                 batch_scales=None):
+        # pad_hw: one (H, W) static shape, or a list of shape buckets —
+        # each batch is padded to the smallest fitting bucket (bounded
+        # recompilation; cheaper multi-scale batches).
+        # batch_scales: optional list of resize scales; each batch samples
+        # ONE (deterministically from seed+epoch) and applies it to all its
+        # images. The TPU-native multi-scale training shape: per-IMAGE random
+        # scales (the reference's mstrain) make the batch max ~= the range
+        # max, so every batch would pay max-scale conv FLOPs; per-BATCH
+        # scales keep the multi-scale regularization while small-scale
+        # batches run in small pad buckets.
         self.dataset = dataset
         self.batch_size = batch_size
-        self.pad_hw = tuple(pad_hw)
+        self.pad_hw = tuple(map(tuple, pad_hw)) \
+            if isinstance(pad_hw[0], (tuple, list)) else tuple(pad_hw)
+        self.batch_scales = [tuple(s) for s in batch_scales] \
+            if batch_scales else None
+        self._scale_carriers = _scale_carriers(dataset) \
+            if batch_scales else []
         self.max_gts = max_gts
         self.sampler = GroupBatchSampler(
             getattr(dataset, 'flag', np.zeros(len(dataset), np.uint8)),
@@ -94,8 +125,17 @@ class DataLoader:
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        scale_rng = np.random.RandomState(self.sampler.seed + self.epoch + 1)
         try:
             for idx in batches:
+                if self.batch_scales:
+                    # batches are produced strictly one at a time (pool.map
+                    # drains before the next batch), so mutating the shared
+                    # transform is race-free
+                    scale = self.batch_scales[
+                        scale_rng.randint(len(self.batch_scales))]
+                    for t in self._scale_carriers:
+                        t.batch_scale = scale
                 if pool is not None:
                     samples = list(pool.map(
                         lambda i: self.dataset[int(i)], idx))
@@ -124,7 +164,8 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
                      pad_hw=(800, 1344), max_gts: int = 100,
                      shuffle: bool = True, seed: int = 0,
                      drop_last: bool = False,
-                     num_workers: Optional[int] = None) -> DataLoader:
+                     num_workers: Optional[int] = None,
+                     batch_scales=None) -> DataLoader:
     """Global-batch loader: batch = samples_per_gpu * num_replicas
     (the SPMD equivalent of per-GPU loaders + DistributedGroupSampler).
 
@@ -136,4 +177,5 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
         num_workers = min(max((os.cpu_count() or 1) - 1, 0), batch)
     return DataLoader(dataset, batch, pad_hw,
                       max_gts, shuffle=shuffle, seed=seed,
-                      drop_last=drop_last, num_workers=num_workers)
+                      drop_last=drop_last, num_workers=num_workers,
+                      batch_scales=batch_scales)

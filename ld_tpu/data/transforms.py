@@ -96,20 +96,50 @@ def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> float:
 class Resize:
     def __init__(self, img_scale=(1333, 800), keep_ratio=True,
                  ratio_range=None, multiscale_mode='range'):
+        assert multiscale_mode in ('range', 'value')
         self.img_scale = img_scale
         self.keep_ratio = keep_ratio
         self.ratio_range = ratio_range
+        self.multiscale_mode = multiscale_mode
+
+    def _sample_scale(self) -> Tuple[int, int]:
+        """Reference Resize._random_scale semantics
+        (mmdet/datasets/pipelines/transforms.py:119-186):
+          * ratio_range set  -> single base scale x uniform ratio
+          * list + 'range'   -> long/short edges each ~ randint over the
+                                [min, max] of the two bounding scales
+          * list + 'value'   -> uniform pick from the given scales
+        """
+        if getattr(self, 'batch_scale', None) is not None:
+            # set by DataLoader(batch_scales=...): every image in a batch
+            # shares one sampled scale, so the batch pads to that scale's
+            # bucket instead of the range maximum (TPU multi-scale training)
+            return tuple(self.batch_scale)
+        scale = self.img_scale
+        if self.ratio_range is not None:
+            if isinstance(scale, list):
+                assert len(scale) == 1
+                scale = scale[0]
+            lo, hi = self.ratio_range
+            r = np.random.random_sample() * (hi - lo) + lo
+            return (int(scale[0] * r), int(scale[1] * r))
+        if isinstance(scale, list):
+            if self.multiscale_mode == 'range':
+                assert len(scale) == 2, \
+                    'range mode needs exactly two bounding scales'
+                longs = [max(s) for s in scale]
+                shorts = [min(s) for s in scale]
+                return (int(np.random.randint(min(longs), max(longs) + 1)),
+                        int(np.random.randint(min(shorts), max(shorts) + 1)))
+            return tuple(scale[np.random.randint(len(scale))])
+        return tuple(scale)
 
     def __call__(self, results: Dict) -> Dict:
         img = results['img']
         h, w = img.shape[:2]
-        scale = self.img_scale
-        if isinstance(scale, list):  # multi-scale: pick one (value mode)
-            scale = scale[np.random.randint(len(scale))]
-        if self.ratio_range is not None:
-            lo, hi = self.ratio_range
-            r = np.random.uniform(lo, hi)
-            scale = (int(scale[0] * r), int(scale[1] * r))
+        # reference parity (transforms.py:30-33): an explicit 'scale' in the
+        # results dict (MultiScaleFlipAug / per-batch override) wins
+        scale = results.get('scale') or self._sample_scale()
         if self.keep_ratio:
             factor = rescale_size(h, w, scale)
             new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
@@ -424,14 +454,20 @@ class FusedPreprocess:
 
     def __init__(self, img_scale=(1333, 800), size_divisor=32,
                  mean=(123.675, 116.28, 103.53),
-                 std=(58.395, 57.12, 57.375), to_rgb=True):
+                 std=(58.395, 57.12, 57.375), to_rgb=True,
+                 ratio_range=None, multiscale_mode='range'):
         self.img_scale = img_scale
         self.size_divisor = size_divisor
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_rgb = to_rgb
+        # scale sampling (single / value / range / ratio_range modes) is
+        # shared with Resize; the native kernel only needs the sampled target
+        self._scale_sampler = Resize(img_scale=img_scale, keep_ratio=True,
+                                     ratio_range=ratio_range,
+                                     multiscale_mode=multiscale_mode)
         self._fallback = Compose([
-            Resize(img_scale=img_scale, keep_ratio=True),
+            self._scale_sampler,
             Normalize(mean, std, to_rgb),
             Pad(size_divisor=size_divisor),
         ])
@@ -444,7 +480,8 @@ class FusedPreprocess:
             return self._fallback(results)
         import ctypes
         h, w = img.shape[:2]
-        factor = rescale_size(h, w, self.img_scale)
+        factor = rescale_size(h, w, results.get('scale')
+                              or self._scale_sampler._sample_scale())
         new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
         d = self.size_divisor
         dh = ((new_h + d - 1) // d) * d
@@ -496,17 +533,41 @@ class Compose:
         return results
 
 
+def select_pad_bucket(pad_hw, batch_max_hw: Tuple[int, int]):
+    """Pick the smallest static pad bucket that fits the batch.
+
+    `pad_hw` is one (H, W) shape or a list of them (shape buckets). With
+    buckets, the jitted step compiles once per bucket — bounded
+    recompilation — and multi-scale batches resized well below the max
+    scale stop paying max-shape conv FLOPs (the TPU answer to the
+    reference's per-batch dynamic pad at transforms.py:476, which a traced
+    program cannot have).
+    """
+    if isinstance(pad_hw[0], (tuple, list)):
+        h, w = batch_max_hw
+        fits = [(bh * bw, (bh, bw)) for bh, bw in pad_hw
+                if bh >= h and bw >= w]
+        if not fits:
+            raise ValueError(
+                f'no pad bucket in {list(pad_hw)} fits batch max {h}x{w}')
+        return min(fits)[1]
+    return tuple(pad_hw)
+
+
 def collate_batch(samples: List[Dict], pad_hw: Tuple[int, int],
                   max_gts: int = 100,
                   mask_stride: int = 4) -> Dict[str, np.ndarray]:
     """Stack per-image dicts into one static-shape batch.
 
-    Images are zero-padded to `pad_hw`; GT boxes/labels padded to `max_gts`
-    with a validity mask. `img_hw` carries the true (resized, un-padded)
-    image shape used for anchor valid-flags and box clipping.
+    Images are zero-padded to `pad_hw` (one shape, or a list of shape
+    buckets — the smallest fitting one is used); GT boxes/labels padded to
+    `max_gts` with a validity mask. `img_hw` carries the true (resized,
+    un-padded) image shape used for anchor valid-flags and box clipping.
     """
     b = len(samples)
-    th, tw = pad_hw
+    th, tw = select_pad_bucket(
+        pad_hw, (max(s['img'].shape[0] for s in samples),
+                 max(s['img'].shape[1] for s in samples)))
     images = np.zeros((b, th, tw, 3), np.float32)
     gt_bboxes = np.zeros((b, max_gts, 4), np.float32)
     gt_labels = np.zeros((b, max_gts), np.int32)

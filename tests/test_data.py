@@ -108,3 +108,76 @@ def test_group_sampler_homogeneous_batches():
     for idx in loader.sampler.epoch_batches(0):
         flags = ds.flag[idx]
         assert (flags == flags[0]).all()
+
+
+def test_resize_multiscale_modes():
+    # range mode (reference transforms.py:121-141): long/short edges each
+    # uniform over the [min, max] of the two bounding scales
+    np.random.seed(0)
+    r = Resize(img_scale=[(1333, 640), (1333, 800)], multiscale_mode='range')
+    for _ in range(20):
+        long_e, short_e = (lambda s: (max(s), min(s)))(r._sample_scale())
+        assert long_e == 1333 and 640 <= short_e <= 800
+    # value mode: exact member of the list
+    r = Resize(img_scale=[(1333, 480), (1333, 960)], multiscale_mode='value')
+    seen = {r._sample_scale() for _ in range(50)}
+    assert seen == {(1333, 480), (1333, 960)}
+    # ratio_range on a single base scale
+    r = Resize(img_scale=(640, 640), ratio_range=(0.5, 1.5))
+    for _ in range(20):
+        s = r._sample_scale()
+        assert 320 <= s[0] <= 960 and s[0] == s[1]
+
+
+def test_collate_pad_buckets():
+    from ld_tpu.data.transforms import select_pad_bucket
+    buckets = [(512, 864), (800, 1344), (1024, 1696)]
+    assert select_pad_bucket(buckets, (500, 860)) == (512, 864)
+    assert select_pad_bucket(buckets, (513, 100)) == (800, 1344)
+    assert select_pad_bucket(buckets, (801, 1400)) == (1024, 1696)
+    try:
+        select_pad_bucket(buckets, (2000, 2000))
+        assert False, 'expected ValueError'
+    except ValueError:
+        pass
+    # single-shape pad_hw unchanged
+    assert select_pad_bucket((800, 1344), (100, 100)) == (800, 1344)
+    samples = [_sample(100, 150), _sample(80, 120)]
+    for s in samples:
+        s['scale_factor'] = np.ones(4, np.float32)
+    batch = collate_batch(samples, pad_hw=[(96, 128), (128, 160)], max_gts=5)
+    assert batch['image'].shape == (2, 128, 160, 3)
+
+
+def test_loader_bucketed_pad():
+    ds = SyntheticDetectionDataset(num_images=8, hw=(64, 96), pipeline=[
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ])
+    dl = DataLoader(ds, batch_size=4, pad_hw=[(64, 96), (128, 192)],
+                    shuffle=False)
+    shapes = {b['image'].shape for b in dl}
+    assert shapes == {(4, 64, 96, 3)}
+
+
+def test_loader_batch_scales_synchronized():
+    # every image in a batch shares one sampled scale; different batches can
+    # differ; selection is deterministic in (seed, epoch)
+    pipeline = [
+        dict(type='Resize', img_scale=(128, 96), keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    ds = SyntheticDetectionDataset(num_images=16, hw=(64, 96),
+                                   pipeline=pipeline)
+    scales = [(128, 96), (96, 64), (64, 48)]
+    dl = DataLoader(ds, batch_size=4, pad_hw=[(48, 64), (64, 96), (96, 128)],
+                    max_gts=4, seed=0, batch_scales=scales)
+    shapes_epoch0 = [b['image'].shape for b in dl]
+    # source images are 64x96 so resize factor = min(long/96, short/64);
+    # all samples in one batch must have identical true hw
+    for b in dl:
+        hw = b['img_hw']
+        assert (hw == hw[0]).all(), hw
+    dl2 = DataLoader(ds, batch_size=4, pad_hw=[(48, 64), (64, 96), (96, 128)],
+                     max_gts=4, seed=0, batch_scales=scales)
+    assert [b['image'].shape for b in dl2] == shapes_epoch0
+    assert len(set(shapes_epoch0)) > 1  # multiple buckets actually exercised

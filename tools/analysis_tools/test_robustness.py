@@ -46,19 +46,26 @@ def main():
         dets = eval_detector(detector, variables, ds,
                              pad_hw=tuple(cfg.get('pad_to', (800, 1344))),
                              max_images=args.max_images)
-        return ds.evaluate(dets)['bbox_mAP']
+        return {k: float(v) for k, v in ds.evaluate(dets).items()
+                if isinstance(v, (int, float))}
 
-    results['clean'] = run()
+    # reference result layout (test_robustness.py:~380 aggregated_results):
+    # {corruption: {severity: {metric: value}}}; severity 0 = clean
     for corruption in args.corruptions:
+        results[corruption] = {0: None}
         for sev in args.severities:
-            key = f'{corruption}_s{sev}'
-            results[key] = run(dict(type='Corrupt', corruption=corruption,
-                                    severity=sev))
-            print(f'{key}: mAP {results[key]:.4f}')
-    corrupted = [v for k, v in results.items() if k != 'clean']
-    results['mPC'] = float(np.mean(corrupted))
-    results['rPC'] = results['mPC'] / max(results['clean'], 1e-6)
-    print(json.dumps(results, indent=2))
+            m = run(dict(type='Corrupt', corruption=corruption,
+                         severity=sev))
+            results[corruption][sev] = m
+            print(f'{corruption} s{sev}: mAP {m.get("bbox_mAP", 0):.4f}')
+    clean = run()
+    for corruption in args.corruptions:
+        results[corruption][0] = clean
+    corrupted = [results[c][s]['bbox_mAP'] for c in args.corruptions
+                 for s in args.severities]
+    summary = dict(P=clean['bbox_mAP'], mPC=float(np.mean(corrupted)))
+    summary['rPC'] = summary['mPC'] / max(summary['P'], 1e-6)
+    print(json.dumps(summary, indent=2))
     with open(args.out, 'w') as f:
         json.dump(results, f)
 
