@@ -26,10 +26,17 @@ max_gts_per_image = 60
 data = dict(
     samples_per_gpu=2,
     train=dict(
-        type=dataset_type,
-        ann_file=data_root + 'VOC2007/ImageSets/Main/trainval.txt',
-        img_prefix=data_root + 'VOC2007/',
-        pipeline=train_pipeline),
+        # reference voc0712.py:35 — 3x-repeated 07+12 trainval
+        type='RepeatDataset',
+        times=3,
+        dataset=dict(
+            type=dataset_type,
+            ann_file=[
+                data_root + 'VOC2007/ImageSets/Main/trainval.txt',
+                data_root + 'VOC2012/ImageSets/Main/trainval.txt',
+            ],
+            img_prefix=[data_root + 'VOC2007/', data_root + 'VOC2012/'],
+            pipeline=train_pipeline)),
     val=dict(
         type=dataset_type,
         ann_file=data_root + 'VOC2007/ImageSets/Main/test.txt',

@@ -7,6 +7,7 @@ padded arrays (no pickled-shard gather — the mesh output IS the gather).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -26,7 +27,12 @@ def eval_detector(detector, variables, dataset, samples_per_dev: int = 4,
     loader = build_dataloader(dataset, samples_per_dev, n_dev, pad_hw,
                               max_gts=1, shuffle=False)
 
-    @jax.jit
+    # donate the per-batch input buffers: they are never reused after the
+    # call, so XLA can overwrite them with outputs (less HBM traffic).
+    # CPU XLA has no donation — gate to avoid a per-call warning there.
+    donate = (1, 2, 3) if jax.default_backend() != 'cpu' else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def infer(variables, image, img_hw, scale_factor):
         return detector.forward_test(
             variables, dict(image=image, img_hw=img_hw,

@@ -27,15 +27,28 @@ class VOCDataset:
 
     def __init__(self, ann_file, pipeline, img_prefix='', test_mode=False,
                  min_size=None, **kwargs):
-        self.img_prefix = img_prefix
+        # ann_file/img_prefix may be parallel LISTS (the reference's VOC
+        # 07+12 trainval configs, e.g. gfl_r18_fpn1x_voc.py: one split file
+        # per VOC year); the splits are concatenated into one dataset
+        ann_files = ann_file if isinstance(ann_file, (list, tuple)) \
+            else [ann_file]
+        prefixes = img_prefix if isinstance(img_prefix, (list, tuple)) \
+            else [img_prefix] * len(ann_files)
+        assert len(prefixes) == len(ann_files)
+        self.img_prefix = prefixes[0]
         self.test_mode = test_mode
         self.min_size = min_size
-        with open(ann_file) as f:
-            self.ids = [line.strip() for line in f if line.strip()]
+        self.ids, id_prefixes = [], []
+        for af, pref in zip(ann_files, prefixes):
+            with open(af) as f:
+                new = [line.strip() for line in f if line.strip()]
+            self.ids += new
+            id_prefixes += [pref] * len(new)
+        self._id_prefixes = id_prefixes
         self.img_infos = []
         self.annotations = []
         name_to_label = {n: i for i, n in enumerate(self.CLASSES)}
-        for img_id in self.ids:
+        for img_id, img_prefix in zip(self.ids, id_prefixes):
             xml_path = os.path.join(img_prefix, 'Annotations',
                                     f'{img_id}.xml')
             tree = ET.parse(xml_path)
@@ -83,7 +96,7 @@ class VOCDataset:
     def __getitem__(self, idx):
         results = dict(img_info=self.img_infos[idx],
                        ann_info=self.annotations[idx],
-                       img_prefix=self.img_prefix)
+                       img_prefix=self._id_prefixes[idx])
         return self.pipeline(results)
 
     def evaluate(self, det_results, metric='mAP', iou_thr=0.5, **kwargs):

@@ -97,6 +97,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False   # DCNv2 on the 3x3 (teacher backbones)
     with_sac: bool = False   # Switchable Atrous Conv (DetectoRS)
     dcn_deform_groups: int = 1
+    style: str = 'pytorch'   # 'caffe': spatial stride on conv1, not conv2
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -106,25 +107,29 @@ class Bottleneck(nn.Module):
         # ResNeXt widens the bottleneck by groups * base_width / 64
         width = int(self.filters * (self.base_width / 64.0)) * self.groups \
             if self.groups > 1 else self.filters
-        out = nn.Conv(width, (1, 1), use_bias=False, name='conv1',
-                      dtype=self.dtype)(x)
+        # stride placement (reference resnet.py:303 `style`): 'pytorch' puts
+        # the spatial stride on the 3x3 conv2, 'caffe' on the 1x1 conv1 —
+        # Detectron-lineage weights (fcos_gfl caffe teachers) need the latter
+        s1 = self.stride if self.style == 'caffe' else 1
+        s2 = 1 if self.style == 'caffe' else self.stride
+        out = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
+                      name='conv1', dtype=self.dtype)(x)
         out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
                         dtype=self.dtype)(out, train)
         out = nn.relu(out)
-        # 'pytorch' style: spatial stride on the (possibly grouped) 3x3
         if self.with_sac:
-            out = SAConv(width, stride=self.stride, dtype=self.dtype,
+            out = SAConv(width, stride=s2, dtype=self.dtype,
                          name='conv2')(out)
         elif self.with_dcn:
             from ld_tpu.ops.deform_conv import ModulatedDeformConv
             out = ModulatedDeformConv(
-                width, kernel_size=3, stride=self.stride,
+                width, kernel_size=3, stride=s2,
                 dilation=self.dilation,
                 deform_groups=self.dcn_deform_groups,
                 dtype=self.dtype, name='conv2')(out)
         else:
             out = nn.Conv(width, (3, 3),
-                          strides=(self.stride, self.stride),
+                          strides=(s2, s2),
                           padding=[(self.dilation, self.dilation)] * 2,
                           kernel_dilation=(self.dilation, self.dilation),
                           feature_group_count=self.groups,
@@ -217,6 +222,7 @@ class ResNet(nn.Module):
                     kwargs['dilation'] = dilation
                     kwargs['groups'] = self.groups
                     kwargs['base_width'] = self.base_width
+                    kwargs['style'] = self.style
                     if self.dcn is not None and \
                             self.stage_with_dcn[stage]:
                         kwargs['with_dcn'] = True

@@ -63,41 +63,93 @@ def build_lr_schedule(base_lr: float, lr_config: Dict,
     return schedule
 
 
+_NORM_MODULE_HINTS = ('norm', 'bn', 'gn')
+
+
+def _paramwise_label(path, paramwise: Dict) -> str:
+    """mmcv DefaultOptimizerConstructor paramwise_cfg semantics
+    (bias_lr_mult / bias_decay_mult / norm_decay_mult): norm-module params
+    (scale AND bias) get norm_decay_mult; other `bias` leaves get
+    bias_lr_mult + bias_decay_mult. Returns 'lr<mult>_wd<mult>'."""
+    parts = [str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path]
+    lr_mult, decay_mult = 1.0, 1.0
+    is_norm = any(h in part.lower() for part in parts[:-1]
+                  for h in _NORM_MODULE_HINTS)
+    if is_norm:
+        decay_mult = paramwise.get('norm_decay_mult', 1.0)
+    elif parts[-1] == 'bias':
+        lr_mult = paramwise.get('bias_lr_mult', 1.0)
+        decay_mult = paramwise.get('bias_decay_mult', 1.0)
+    return f'lr{lr_mult}_wd{decay_mult}'
+
+
 def build_optimizer(optimizer_cfg: Dict,
                     lr_schedule,
                     params,
                     frozen_prefixes: Sequence[str] = (),
                     grad_clip: Dict = None) -> optax.GradientTransformation:
     """SGD+momentum+decoupled-into-grad weight decay (torch SGD semantics:
-    wd is added to the gradient BEFORE momentum), masked over frozen paths."""
+    wd is added to the gradient BEFORE momentum), masked over frozen paths.
+    Supports mmcv paramwise_cfg (bias_lr_mult, bias_decay_mult,
+    norm_decay_mult) via per-group transforms."""
     opt_type = optimizer_cfg.get('type', 'SGD')
     wd = optimizer_cfg.get('weight_decay', 0.0)
-    chain = []
+    paramwise = optimizer_cfg.get('paramwise_cfg') or {}
+
+    def group_chain(lr_mult: float, decay_mult: float):
+        chain = []
+        if opt_type == 'SGD':
+            if wd * decay_mult:
+                chain.append(optax.add_decayed_weights(wd * decay_mult))
+            momentum = optimizer_cfg.get('momentum', 0.9)
+            if momentum:
+                # torch SGD: v = mu*v + g ; p -= lr*v (no dampening/Nesterov)
+                chain.append(optax.trace(decay=momentum, nesterov=False))
+        elif opt_type == 'AdamW':
+            chain.append(optax.scale_by_adam(
+                b1=optimizer_cfg.get('betas', (0.9, 0.999))[0],
+                b2=optimizer_cfg.get('betas', (0.9, 0.999))[1]))
+            if wd * decay_mult:
+                chain.append(optax.add_decayed_weights(wd * decay_mult))
+        else:
+            raise ValueError(f'unsupported optimizer {opt_type}')
+        if lr_mult == 1.0:
+            chain.append(optax.scale_by_learning_rate(lr_schedule))
+        else:
+            chain.append(optax.scale_by_learning_rate(
+                lambda count: lr_schedule(count) * lr_mult))
+        return optax.chain(*chain)
+
+    trainable = frozen_mask(params, frozen_prefixes) if frozen_prefixes \
+        else jax.tree_util.tree_map(lambda _: True, params)
+
+    def label(path, _):
+        if not _label_trainable(trainable, path):
+            return 'freeze'
+        if not paramwise:
+            return 'lr1.0_wd1.0'
+        return _paramwise_label(path, paramwise)
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    groups = {l for l in jax.tree_util.tree_leaves(labels)}
+    transforms = {'freeze': optax.set_to_zero()}
+    for g in groups:
+        if g == 'freeze':
+            continue
+        lr_mult = float(g.split('_')[0][2:])
+        decay_mult = float(g.split('_')[1][2:])
+        transforms[g] = group_chain(lr_mult, decay_mult)
+    # global grad clip must see the whole gradient BEFORE per-group updates
+    tx = optax.multi_transform(transforms, labels)
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip.get('max_norm',
-                                                             35.0)))
-    if opt_type == 'SGD':
-        if wd:
-            chain.append(optax.add_decayed_weights(wd))
-        momentum = optimizer_cfg.get('momentum', 0.9)
-        if momentum:
-            # torch SGD: v = mu*v + g ; p -= lr*v  (no dampening, no Nesterov)
-            chain.append(optax.trace(decay=momentum, nesterov=False))
-        chain.append(optax.scale_by_learning_rate(lr_schedule))
-    elif opt_type == 'AdamW':
-        chain.append(optax.scale_by_adam(
-            b1=optimizer_cfg.get('betas', (0.9, 0.999))[0],
-            b2=optimizer_cfg.get('betas', (0.9, 0.999))[1]))
-        if wd:
-            chain.append(optax.add_decayed_weights(wd))
-        chain.append(optax.scale_by_learning_rate(lr_schedule))
-    else:
-        raise ValueError(f'unsupported optimizer {opt_type}')
-    tx = optax.chain(*chain)
-    if frozen_prefixes:
-        mask = frozen_mask(params, frozen_prefixes)
-        tx = optax.multi_transform(
-            {'train': tx, 'freeze': optax.set_to_zero()},
-            jax.tree_util.tree_map(
-                lambda t: 'train' if t else 'freeze', mask))
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip.get('max_norm', 35.0)), tx)
     return tx
+
+
+def _label_trainable(trainable_tree, path) -> bool:
+    node = trainable_tree
+    for p in path:
+        key = getattr(p, 'key', getattr(p, 'idx', None))
+        node = node[key]
+    return bool(node)

@@ -181,3 +181,44 @@ def test_loader_batch_scales_synchronized():
                      max_gts=4, seed=0, batch_scales=scales)
     assert [b['image'].shape for b in dl2] == shapes_epoch0
     assert len(set(shapes_epoch0)) > 1  # multiple buckets actually exercised
+
+
+def _write_voc_year(root, year, ids, size=(60, 80)):
+    import os
+    import cv2 as _cv2
+    base = os.path.join(root, year)
+    os.makedirs(os.path.join(base, 'Annotations'), exist_ok=True)
+    os.makedirs(os.path.join(base, 'JPEGImages'), exist_ok=True)
+    os.makedirs(os.path.join(base, 'ImageSets', 'Main'), exist_ok=True)
+    h, w = size
+    for i in ids:
+        _cv2.imwrite(os.path.join(base, 'JPEGImages', f'{i}.jpg'),
+                     np.zeros((h, w, 3), np.uint8))
+        with open(os.path.join(base, 'Annotations', f'{i}.xml'), 'w') as f:
+            f.write(f"""<annotation><size><width>{w}</width>
+<height>{h}</height></size>
+<object><name>dog</name><difficult>0</difficult>
+<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>40</xmax><ymax>40</ymax>
+</bndbox></object></annotation>""")
+    split = os.path.join(base, 'ImageSets', 'Main', 'trainval.txt')
+    with open(split, 'w') as f:
+        f.write('\n'.join(ids) + '\n')
+    return split, base + '/'
+
+
+def test_voc_multi_year_ann_lists(tmp_path):
+    """Reference VOC 07+12 configs pass LISTS of ann_files/img_prefixes
+    (voc0712.py:39-43); the splits concatenate into one dataset with
+    per-image prefixes."""
+    from ld_tpu.data.voc import VOCDataset
+    root = str(tmp_path)
+    s07, p07 = _write_voc_year(root, 'VOC2007', ['000001', '000002'])
+    s12, p12 = _write_voc_year(root, 'VOC2012', ['100001'])
+    ds = VOCDataset(ann_file=[s07, s12], img_prefix=[p07, p12],
+                    pipeline=[dict(type='LoadImageFromFile'),
+                              dict(type='LoadAnnotations', with_bbox=True)])
+    assert len(ds) == 3
+    for i in range(3):
+        out = ds[i]
+        assert out['img'].shape == (60, 80, 3)
+        assert len(out['gt_bboxes']) == 1

@@ -141,3 +141,28 @@ def test_trident_resnet_branches():
     o = np.asarray(outs[0])
     # branches share weights but differ by dilation -> different outputs
     assert not np.allclose(o[:2], o[2:4])
+
+
+def test_resnet_caffe_style_stride_on_conv1():
+    """'caffe' style puts the stage stride on the 1x1 conv1 (reference
+    resnet.py:303 Bottleneck.style); output shapes match 'pytorch' style but
+    values differ because different pixels are sampled."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                    jnp.float32)
+    outs = {}
+    for style in ('pytorch', 'caffe'):
+        net = BACKBONES.build(dict(type='ResNet', depth=50, num_stages=4,
+                                   out_indices=(0, 1, 2, 3), style=style,
+                                   norm_eval=False, frozen_stages=-1))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        outs[style] = net.apply(variables, x, train=False,
+                                mutable=False)
+    for a, b in zip(outs['pytorch'], outs['caffe']):
+        assert a.shape == b.shape
+    # same param tree (weight shapes identical -> same converted checkpoints)
+    assert any(
+        float(jnp.abs(a - b).max()) > 1e-3
+        for a, b in zip(outs['pytorch'], outs['caffe']))

@@ -172,3 +172,43 @@ def test_dp8_matches_dp1_new_head():
         return losses
 
     np.testing.assert_allclose(run(1), run(8), rtol=3e-4, atol=3e-5)
+
+
+def test_paramwise_cfg_optimizer():
+    """mmcv DefaultOptimizerConstructor paramwise_cfg parity: bias_lr_mult /
+    bias_decay_mult on non-norm biases, norm_decay_mult on norm params
+    (scale AND bias); composes with frozen-path masking."""
+    import numpy as np
+    import optax
+    from ld_tpu.parallel.optim import build_optimizer
+
+    params = {
+        'backbone': {'conv1': {'kernel': jnp.ones((3, 3, 4, 4)),
+                               'bias': jnp.ones(4)},
+                     'norm1': {'scale': jnp.ones(4), 'bias': jnp.ones(4)}},
+        'head': {'fc': {'kernel': jnp.ones((4, 2)), 'bias': jnp.ones(2)}},
+    }
+    sched = lambda c: 0.1
+    cfg = dict(type='SGD', lr=0.1, momentum=0.0, weight_decay=0.0,
+               paramwise_cfg=dict(bias_lr_mult=2.0, bias_decay_mult=0.0))
+    tx = build_optimizer(cfg, sched, params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert np.allclose(updates['head']['fc']['kernel'], -0.1)
+    assert np.allclose(updates['head']['fc']['bias'], -0.2)
+    assert np.allclose(updates['backbone']['norm1']['bias'], -0.1)
+
+    cfg2 = dict(type='SGD', lr=0.1, momentum=0.0, weight_decay=0.5,
+                paramwise_cfg=dict(bias_decay_mult=0.0, norm_decay_mult=0.0))
+    tx2 = build_optimizer(cfg2, sched, params)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    u2, _ = tx2.update(zero, tx2.init(params), params)
+    assert np.allclose(u2['head']['fc']['kernel'], -0.05)
+    assert np.allclose(u2['head']['fc']['bias'], 0.0)
+    assert np.allclose(u2['backbone']['norm1']['scale'], 0.0)
+
+    tx3 = build_optimizer(cfg, sched, params,
+                          frozen_prefixes=['backbone/conv1'])
+    u3, _ = tx3.update(grads, tx3.init(params), params)
+    assert np.allclose(u3['backbone']['conv1']['kernel'], 0.0)
+    assert np.allclose(u3['head']['fc']['kernel'], -0.1)
