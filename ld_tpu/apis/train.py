@@ -25,7 +25,8 @@ from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
                              create_train_state, jit_train_step,
                              make_train_step, shard_batch)
 from ld_tpu.utils.checkpoint import (load_checkpoint, load_variables,
-                                     load_torch_checkpoint, save_checkpoint)
+                                     load_torch_checkpoint, save_checkpoint,
+                                     save_variables)
 from ld_tpu.utils.logging import get_root_logger
 
 
@@ -120,6 +121,7 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
 
     json_log = open(os.path.join(work_dir, 'log.json'), 'a')
     global_step = int(state.step)
+    best_score = float('-inf')  # EvalHook save_best tracking
     metrics = {}
     t_last = time.perf_counter()
     start_epoch = global_step // max(steps_per_epoch, 1)
@@ -142,7 +144,13 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                 json_log.flush()
             if max_steps and global_step >= max_steps:
                 break
-        save_checkpoint(work_dir, state)
+        # checkpoint hook (parity: mmcv CheckpointHook — checkpoint_config
+        # interval in epochs, max_keep_ckpts)
+        ckpt_cfg = cfg.get('checkpoint_config', {}) or {}
+        ckpt_every = ckpt_cfg.get('interval', 1)
+        if ckpt_every and (epoch + 1) % ckpt_every == 0:
+            save_checkpoint(work_dir, state,
+                            keep=ckpt_cfg.get('max_keep_ckpts', 3))
         # eval hook (parity: mmdet EvalHook, eval_hooks.py:14)
         eval_every = eval_interval_epochs or cfg.get('evaluation', {}).get(
             'interval', 0)
@@ -165,6 +173,20 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                 logger.info(' '.join(f'{k}={v}' for k, v in line.items()))
                 json_log.write(json.dumps(line) + '\n')
                 json_log.flush()
+                # best-checkpoint tracking (parity: EvalHook save_best,
+                # eval_hooks.py `best_*` — reference tracks e.g. bbox_mAP
+                # and keeps the best epoch's weights)
+                best_key = cfg.get('evaluation', {}).get('save_best')
+                if best_key and best_key in val_metrics:
+                    cur = float(val_metrics[best_key])
+                    if cur > best_score:
+                        best_score = cur
+                        save_variables(
+                            os.path.join(work_dir, f'best_{best_key}.npz'),
+                            variables)
+                        logger.info(
+                            f'new best {best_key}={cur:.5f} '
+                            f'(epoch {epoch + 1}) -> best_{best_key}.npz')
             except FileNotFoundError as e:
                 logger.warning(f'eval skipped: {e}')
         if max_steps and global_step >= max_steps:
