@@ -671,3 +671,273 @@ class InstaBoost:
         results['ann_info'] = anns
         results['img'] = img
         return results
+
+
+# ---------------------------------------------------------------------------
+# Formatting + aux transforms (reference pipelines/formating.py, loading.py,
+# test_time_aug.py). The torch-specific ones are layout adapters here: the
+# TPU stack keeps HWC numpy throughout the host pipeline (NHWC is the native
+# TPU conv layout — there is no CHW tensor conversion step to perform).
+# ---------------------------------------------------------------------------
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """Reference formating.py:174 — to-tensor + CHW + DataContainer wrap.
+    Here: ensure float32 img and contiguous annotation arrays (NHWC stays)."""
+
+    def __call__(self, results: Dict) -> Dict:
+        if 'img' in results:
+            results['img'] = np.ascontiguousarray(
+                results['img'].astype(np.float32))
+        for k in ('gt_bboxes', 'gt_bboxes_ignore'):
+            if k in results:
+                results[k] = np.asarray(results[k], np.float32)
+        if 'gt_labels' in results:
+            results['gt_labels'] = np.asarray(results['gt_labels'],
+                                              np.int64)
+        return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    """Reference formating.py:66 HWC->CHW tensor. NHWC is the TPU layout;
+    accepted as a no-op for config compatibility."""
+
+    def __init__(self, keys=('img', )):
+        self.keys = keys
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
+
+
+@PIPELINES.register_module()
+class ToTensor(ImageToTensor):
+    pass
+
+
+@PIPELINES.register_module()
+class ToDataContainer(ImageToTensor):
+    pass
+
+
+@PIPELINES.register_module()
+class WrapFieldsToLists(ImageToTensor):
+    pass
+
+
+@PIPELINES.register_module()
+class Transpose:
+    """Reference formating.py Transpose — explicit axis permutation."""
+
+    def __init__(self, keys, order):
+        self.keys = keys
+        self.order = order
+
+    def __call__(self, results: Dict) -> Dict:
+        for k in self.keys:
+            results[k] = results[k].transpose(self.order)
+        return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """Rescale gt_semantic_seg by scale_factor (reference transforms.py:772;
+    HTC's 1/8-resolution semantic branch)."""
+
+    def __init__(self, scale_factor=1, **kwargs):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results: Dict) -> Dict:
+        if self.scale_factor != 1 and 'gt_semantic_seg' in results:
+            seg = results['gt_semantic_seg']
+            h, w = seg.shape[:2]
+            results['gt_semantic_seg'] = cv2.resize(
+                seg, (int(w * self.scale_factor), int(h * self.scale_factor)),
+                interpolation=cv2.INTER_NEAREST)
+        return results
+
+
+@PIPELINES.register_module()
+class LoadProposals:
+    """Reference loading.py:388 — clip precomputed proposals to (n, 4) and
+    cap at num_max_proposals."""
+
+    def __init__(self, num_max_proposals=None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results: Dict) -> Dict:
+        proposals = np.asarray(results['proposals'], np.float32)
+        if proposals.shape[1] not in (4, 5):
+            raise AssertionError(
+                f'proposals should be (n, 4|5) but got {proposals.shape}')
+        proposals = proposals[:, :4]
+        if self.num_max_proposals is not None:
+            proposals = proposals[:self.num_max_proposals]
+        if len(proposals) == 0:
+            proposals = np.array([[0, 0, 0, 0]], np.float32)
+        results['proposals'] = proposals
+        return results
+
+
+@PIPELINES.register_module()
+class FilterAnnotations:
+    """Reference loading.py:433 — drop GT boxes smaller than min_gt_bbox_wh;
+    the whole sample is dropped (None) when nothing survives."""
+
+    def __init__(self, min_gt_bbox_wh):
+        self.min_gt_bbox_wh = min_gt_bbox_wh
+
+    def __call__(self, results: Dict):
+        bb = results['gt_bboxes']
+        keep = ((bb[:, 2] - bb[:, 0]) > self.min_gt_bbox_wh[0]) & \
+               ((bb[:, 3] - bb[:, 1]) > self.min_gt_bbox_wh[1])
+        if not keep.any():
+            return None
+        for key in ('gt_bboxes', 'gt_labels'):
+            if key in results:
+                results[key] = results[key][keep]
+        if 'gt_masks' in results:
+            results['gt_masks'] = [m for m, k in
+                                   zip(results['gt_masks'], keep) if k]
+        return results
+
+
+@PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """Reference test_time_aug.py:10. Single (scale, no-flip) — the standard
+    test pipeline — applies the wrapped transforms once, in place. Multiple
+    views return the first view with the full list under 'aug_views'
+    (consumed by ld_tpu.apis.aug_test for merged-NMS TTA)."""
+
+    def __init__(self, transforms, img_scale=None, flip=False,
+                 flip_direction='horizontal', scale_factor=None):
+        self.transforms = transforms
+        scales = img_scale if isinstance(img_scale, list) else [img_scale]
+        self.img_scales = [tuple(s) if s else None for s in scales]
+        self.flip = flip
+        self.scale_factor = scale_factor
+
+    def __call__(self, results: Dict) -> Dict:
+        import copy
+        views = []
+        for scale in self.img_scales:
+            for do_flip in ([False, True] if self.flip else [False]):
+                r = copy.deepcopy(results)
+                if scale is not None:
+                    r['scale'] = scale
+                pipeline = Compose(
+                    [dict(t) if isinstance(t, dict) else t
+                     for t in self.transforms])
+                if do_flip:
+                    r = RandomFlip(flip_ratio=1.0)(r)
+                r = pipeline(r)
+                r['flip'] = do_flip
+                views.append(r)
+        out = views[0]
+        if len(views) > 1:
+            out['aug_views'] = views
+        return out
+
+
+@PIPELINES.register_module()
+class RandomCenterCropPad:
+    """CornerNet-style random center crop with around-padding.
+
+    Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:1396 —
+    train: pick ratio from `ratios`, target = ratio * crop_size, pick a
+    random center away from the borders, paste the overlapping region onto a
+    mean-filled canvas with centers aligned, keep boxes whose centers fall
+    in the patch; test: pad around the center to `test_pad_mode`
+    ('logical_or' with 127 -> CornerNet's h|127, or 'size_divisor').
+    The canvas fill uses the NORMALIZE mean in the image's current channel
+    order (this transform runs before Normalize, on raw BGR pixels).
+    """
+
+    def __init__(self, crop_size=None, ratios=(0.9, 1.0, 1.1), border=128,
+                 mean=None, std=None, to_rgb=None, test_mode=False,
+                 test_pad_mode=('logical_or', 127), bbox_clip_border=True):
+        assert mean is not None and std is not None and to_rgb is not None
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        # image is BGR at this pipeline stage; flip the (RGB-order) mean
+        self.fill = np.asarray(mean[::-1] if to_rgb else mean, np.float32)
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+        self.bbox_clip_border = bbox_clip_border
+
+    @staticmethod
+    def _rand_border(border, size):
+        # shrink the exclusion border for small images so the center range
+        # stays non-empty (reference _get_border)
+        k = 2 * border / size
+        i = pow(2, np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return int(border // i)
+
+    def _paste(self, img, cy, cx, th, tw):
+        h, w, c = img.shape
+        x0, x1 = max(0, cx - tw // 2), min(cx + tw // 2, w)
+        y0, y1 = max(0, cy - th // 2), min(cy + th // 2, h)
+        canvas = np.empty((th, tw, c), img.dtype)
+        canvas[:] = self.fill
+        ccy, ccx = th // 2, tw // 2
+        canvas[ccy - (cy - y0):ccy + (y1 - cy),
+               ccx - (cx - x0):ccx + (x1 - cx)] = img[y0:y1, x0:x1]
+        return canvas, (x0, y0, x1, y1)
+
+    def _train(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        hb = self._rand_border(self.border, h)
+        wb = self._rand_border(self.border, w)
+        for _ in range(200):
+            ratio = self.ratios[np.random.randint(len(self.ratios))]
+            th = int(self.crop_size[0] * ratio)
+            tw = int(self.crop_size[1] * ratio)
+            cx = int(np.random.randint(wb, max(w - wb, wb + 1)))
+            cy = int(np.random.randint(hb, max(h - hb, hb + 1)))
+            canvas, (x0, y0, x1, y1) = self._paste(img, cy, cx, th, tw)
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+            mask = ((centers[:, 0] > x0) & (centers[:, 0] < x1) &
+                    (centers[:, 1] > y0) & (centers[:, 1] < y1))
+            if len(boxes) > 0 and not mask.any():
+                continue
+            results['img'] = canvas
+            results['img_shape'] = canvas.shape
+            results['pad_shape'] = canvas.shape
+            shift_x = tw // 2 - (cx - x0) - x0
+            shift_y = th // 2 - (cy - y0) - y0
+            bb = boxes[mask].copy()
+            bb[:, 0::2] += shift_x
+            bb[:, 1::2] += shift_y
+            if self.bbox_clip_border:
+                bb[:, 0::2] = bb[:, 0::2].clip(0, tw)
+                bb[:, 1::2] = bb[:, 1::2].clip(0, th)
+            keep = (bb[:, 2] > bb[:, 0]) & (bb[:, 3] > bb[:, 1])
+            results['gt_bboxes'] = bb[keep]
+            if 'gt_labels' in results:
+                results['gt_labels'] = results['gt_labels'][mask][keep]
+            return results
+        return results  # pathological image: give up uncropped
+
+    def _test(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        results['img_shape'] = img.shape
+        if self.test_pad_mode[0] == 'logical_or':
+            th, tw = h | self.test_pad_mode[1], w | self.test_pad_mode[1]
+        else:
+            d = self.test_pad_mode[1]
+            th = int(np.ceil(h / d)) * d
+            tw = int(np.ceil(w / d)) * d
+        canvas, _ = self._paste(img, h // 2, w // 2, th, tw)
+        results['img'] = canvas
+        results['pad_shape'] = canvas.shape
+        results['border'] = np.array(
+            [th // 2 - h // 2, th // 2 + h - h // 2,
+             tw // 2 - w // 2, tw // 2 + w - w // 2], np.float32)
+        return results
+
+    def __call__(self, results: Dict) -> Dict:
+        return self._test(results) if self.test_mode else self._train(results)

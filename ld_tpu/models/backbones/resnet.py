@@ -189,14 +189,14 @@ class ResNet(nn.Module):
             for i, s in enumerate((2, 1, 1)):
                 x = _conv(32 if i < 2 else 64, 3, s, f'stem_conv{i+1}',
                           self.dtype)(x)
-                x = BatchNorm(use_running_average=self.norm_eval,
+                x = BatchNorm(use_running_average=self.norm_eval or self.frozen_stages >= 0,
                               name=f'stem_norm{i+1}', dtype=self.dtype)(
                                   x, train)
                 x = nn.relu(x)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
                         use_bias=False, name='conv1', dtype=self.dtype)(x)
-            x = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+            x = BatchNorm(use_running_average=self.norm_eval or self.frozen_stages >= 0, name='norm1',
                           dtype=self.dtype)(x, train)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
@@ -214,8 +214,13 @@ class ResNet(nn.Module):
                 expansion = getattr(block_cls, 'expansion', 1)
                 need_ds = (b == 0 and
                            (s != 1 or in_planes != planes * expansion))
+                # frozen stages keep BN in eval mode even under
+                # norm_eval=False (reference resnet.py _freeze_stages puts
+                # them in .eval(): stats frozen, not just gradients)
+                stage_frozen = stage + 1 <= self.frozen_stages
                 kwargs = dict(filters=planes, stride=s, downsample=need_ds,
-                              norm_eval=self.norm_eval, dtype=self.dtype,
+                              norm_eval=self.norm_eval or stage_frozen,
+                              dtype=self.dtype,
                               avg_down=self.avg_down,
                               name=f'layer{stage+1}_{b}')
                 if block_cls is Bottleneck:
@@ -380,7 +385,7 @@ class TridentResNet(ResNet):
         stage_blocks = stage_blocks[:self.num_stages]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
                     use_bias=False, name='conv1', dtype=self.dtype)(x)
-        x = BatchNorm(use_running_average=self.norm_eval, name='norm1',
+        x = BatchNorm(use_running_average=self.norm_eval or self.frozen_stages >= 0, name='norm1',
                       dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

@@ -63,7 +63,17 @@ class SingleStageDetector:
 
     # ---- forward -------------------------------------------------------------
     def apply(self, variables, images, train=False, output_features=False):
-        return self.net.apply(variables, images, train=train,
+        if train:
+            # BN layers with live statistics (norm_eval=False backbones,
+            # RetinaSepBNHead) write momentum-updated running stats; the
+            # traced collection is stashed for make_train_step to thread
+            # into the next TrainState (frozen BN passes through unchanged)
+            outs, mut = self.net.apply(variables, images, train=True,
+                                       output_features=output_features,
+                                       mutable=['batch_stats'])
+            self._last_batch_stats = mut.get('batch_stats', {})
+            return outs
+        return self.net.apply(variables, images, train=False,
                               output_features=output_features)
 
     def extract_feat(self, variables, images, train=False):

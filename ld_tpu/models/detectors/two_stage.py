@@ -100,7 +100,14 @@ class TwoStageDetector:
 
     def extract(self, variables, images, train=False):
         main, roi = self._split(variables)
-        feats, rpn_outs = self.net.apply(main, images, train=train)
+        if train:
+            # live-BN support (norm_eval=False): see single_stage.py apply —
+            # stats stashed for make_train_step to thread into TrainState
+            (feats, rpn_outs), mut = self.net.apply(
+                main, images, train=True, mutable=['batch_stats'])
+            self._last_batch_stats = mut.get('batch_stats', {})
+        else:
+            feats, rpn_outs = self.net.apply(main, images, train=False)
         return feats, rpn_outs, roi
 
     def forward_train(self, variables, batch, rng=None

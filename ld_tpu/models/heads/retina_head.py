@@ -143,3 +143,77 @@ class RetinaHead(RetinaGFLHead):
         return jax.vmap(per_image)([c for c in cls_scores],
                                    [r for r in bbox_preds], img_hw,
                                    scale_factor)
+
+
+class RetinaSepBNNet(nn.Module):
+    """Towers with SHARED conv weights but per-FPN-level BN (reference
+    retina_sepbn_head.py:32-72: `self.cls_convs[j][i].conv =
+    self.cls_convs[0][i].conv` aliases the convs, norms stay distinct)."""
+    num_classes: int
+    num_ins: int = 5
+    num_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from ld_tpu.models.backbones.resnet import BatchNorm
+        convs_c = [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                           use_bias=False, dtype=self.dtype,
+                           kernel_init=nn.initializers.normal(0.01),
+                           name=f'cls_conv{i}')
+                   for i in range(self.stacked_convs)]
+        convs_r = [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                           use_bias=False, dtype=self.dtype,
+                           kernel_init=nn.initializers.normal(0.01),
+                           name=f'reg_conv{i}')
+                   for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
+                          bias_init=nn.initializers.constant(_CLS_BIAS_INIT),
+                          name='retina_cls')
+        reg_out = nn.Conv(self.num_anchors * 4, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name='retina_reg')
+        # per-(level, depth) norms — sepbn trains with BN running stats ON
+        # (NAS-FPN recipe), so use_running_average only outside train
+        norms_c = [[BatchNorm(use_running_average=False, dtype=self.dtype,
+                              name=f'cls_norm_l{l}_d{i}')
+                    for i in range(self.stacked_convs)]
+                   for l in range(self.num_ins)]
+        norms_r = [[BatchNorm(use_running_average=False, dtype=self.dtype,
+                              name=f'reg_norm_l{l}_d{i}')
+                    for i in range(self.stacked_convs)]
+                   for l in range(self.num_ins)]
+        cls_scores, bbox_preds = [], []
+        for l, x in enumerate(feats):
+            c, r = x, x
+            for i in range(self.stacked_convs):
+                c = nn.relu(norms_c[l][i](convs_c[i](c), train))
+                r = nn.relu(norms_r[l][i](convs_r[i](r), train))
+            cls_scores.append(cls_out(c).astype(jnp.float32))
+            bbox_preds.append(reg_out(r).astype(jnp.float32))
+        return cls_scores, bbox_preds
+
+
+@HEADS.register_module()
+class RetinaSepBNHead(RetinaHead):
+    """RetinaHead with shared convs + separate per-level BN (NAS-FPN).
+
+    Parity: /root/reference/mmdet/models/dense_heads/retina_sepbn_head.py.
+    """
+
+    def __init__(self, num_classes, num_ins=5, in_channels=256, **kwargs):
+        self.num_ins = num_ins
+        super().__init__(num_classes, in_channels, **kwargs)
+
+    def _build_net(self, dtype):
+        self._dtype = dtype
+        return RetinaSepBNNet(num_classes=self.num_classes,
+                              num_ins=self.num_ins,
+                              num_anchors=getattr(self, 'num_anchors', 9),
+                              feat_channels=self.feat_channels,
+                              stacked_convs=self.stacked_convs, dtype=dtype)

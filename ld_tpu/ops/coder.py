@@ -81,6 +81,51 @@ class DeltaXYWHBBoxCoder:
 
 
 @register_coder
+class LegacyDeltaXYWHBBoxCoder(DeltaXYWHBBoxCoder):
+    """MMDet V1.x delta coder (reference core/bbox/coder/
+    legacy_delta_xywh_bbox_coder.py:10): identical to DeltaXYWHBBoxCoder
+    except widths/heights use the legacy `+ 1` pixel convention (and the
+    decode intentionally OMITS the matching -+0.5 corner shift, matching
+    the reference's compatibility note at :203)."""
+
+    def encode(self, bboxes, gt_bboxes):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0] + 1.0
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1] + 1.0
+        deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                            jnp.log(gw / pw), jnp.log(gh / ph)], axis=-1)
+        return (deltas - self.means) / self.stds
+
+    def decode(self, bboxes, deltas, max_shape=None, wh_ratio_clip=16 / 1000):
+        deltas = deltas * self.stds + self.means
+        max_ratio = abs(math.log(wh_ratio_clip))
+        dx, dy = deltas[..., 0], deltas[..., 1]
+        dw = jnp.clip(deltas[..., 2], -max_ratio, max_ratio)
+        dh = jnp.clip(deltas[..., 3], -max_ratio, max_ratio)
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gx = px + pw * dx
+        gy = py + ph * dy
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        x1, y1 = gx - gw * 0.5, gy - gh * 0.5
+        x2, y2 = gx + gw * 0.5, gy + gh * 0.5
+        if max_shape is not None and self.clip_border:
+            x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+            y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+            x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+            y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+        return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+@register_coder
 class PseudoBBoxCoder:
     def encode(self, bboxes, gt_bboxes):
         return gt_bboxes

@@ -56,6 +56,8 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
     def train_step(state: TrainState, batch: Dict,
                    teacher_variables: Optional[Dict] = None):
         def loss_fn(params):
+            detector._last_batch_stats = None  # cleared pre-call: a stale
+            # stash from an earlier trace must never leak into this one
             variables = {'params': params,
                          'batch_stats': state.batch_stats}
             kwargs = {}
@@ -73,19 +75,25 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
             # 'loss' join the objective; other entries are logged metrics
             total = sum(jnp.asarray(v) for k, v in losses.items()
                         if 'loss' in k)
-            return total, losses
+            # live-BN detectors stash momentum-updated stats during apply
+            # (single_stage.py apply, train=True); thread them as aux so
+            # norm_eval=False training actually updates running statistics
+            new_stats = getattr(detector, '_last_batch_stats', None)
+            return total, (losses, new_stats)
 
         if remat:
             loss_fn = jax.checkpoint(loss_fn)
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics['loss'] = total
-        new_state = TrainState(params=params, batch_stats=state.batch_stats,
-                               opt_state=opt_state, step=state.step + 1)
+        new_state = TrainState(
+            params=params,
+            batch_stats=state.batch_stats if new_stats is None else new_stats,
+            opt_state=opt_state, step=state.step + 1)
         return new_state, metrics
 
     return train_step

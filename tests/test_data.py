@@ -222,3 +222,65 @@ def test_voc_multi_year_ann_lists(tmp_path):
         out = ds[i]
         assert out['img'].shape == (60, 80, 3)
         assert len(out['gt_bboxes']) == 1
+
+
+def test_formatting_and_aux_pipeline_classes():
+    """Reference-parity formatting/aux transforms (formating.py,
+    loading.py:388,433, test_time_aug.py:10)."""
+    from ld_tpu.data.transforms import (DefaultFormatBundle, FilterAnnotations,
+                                        LoadProposals, MultiScaleFlipAug,
+                                        SegRescale)
+    s = _sample()
+    out = DefaultFormatBundle()(dict(s))
+    assert out['img'].dtype == np.float32
+    assert out['gt_labels'].dtype == np.int64
+
+    # FilterAnnotations drops tiny boxes; all-dropped -> None
+    r = dict(s, gt_bboxes=np.array([[0, 0, 1.5, 30], [5, 5, 40, 40]],
+                                   np.float32),
+             gt_labels=np.array([1, 2]))
+    out = FilterAnnotations(min_gt_bbox_wh=(2, 2))(r)
+    assert len(out['gt_bboxes']) == 1 and out['gt_labels'][0] == 2
+    r2 = dict(s, gt_bboxes=np.array([[0, 0, 1, 1]], np.float32),
+              gt_labels=np.array([1]))
+    assert FilterAnnotations(min_gt_bbox_wh=(2, 2))(r2) is None
+
+    out = LoadProposals(num_max_proposals=2)(dict(
+        proposals=np.array([[0, 0, 5, 5, 0.9], [1, 1, 6, 6, 0.8],
+                            [2, 2, 7, 7, 0.7]], np.float32)))
+    assert out['proposals'].shape == (2, 4)
+
+    seg = np.arange(64).reshape(8, 8).astype(np.uint8)
+    out = SegRescale(scale_factor=0.5)(dict(gt_semantic_seg=seg))
+    assert out['gt_semantic_seg'].shape == (4, 4)
+
+    # MultiScaleFlipAug: single view applies inner transforms in place
+    aug = MultiScaleFlipAug(
+        img_scale=(128, 96), flip=False,
+        transforms=[dict(type='Resize', keep_ratio=True),
+                    dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1],
+                         to_rgb=False)])
+    out = aug(_sample(64, 96))
+    # factor = min(128/96, 96/64) = 4/3 -> (85, 128)
+    assert out['img'].shape[:2] == (85, 128)
+    assert 'aug_views' not in out
+    # multi view -> aug_views list
+    aug2 = MultiScaleFlipAug(
+        img_scale=[(128, 96), (64, 48)], flip=True,
+        transforms=[dict(type='Resize', keep_ratio=True)])
+    out2 = aug2(_sample(64, 96))
+    assert len(out2['aug_views']) == 4
+    flips = [v['flip'] for v in out2['aug_views']]
+    assert flips == [False, True, False, True]
+
+
+def test_legacy_delta_coder():
+    import jax.numpy as jnp
+    from ld_tpu.ops.coder import build_coder
+    c = build_coder(dict(type='LegacyDeltaXYWHBBoxCoder'))
+    boxes = jnp.asarray([[10., 10., 50., 30.]])
+    gts = jnp.asarray([[12., 8., 48., 36.]])
+    back = np.asarray(c.decode(boxes, c.encode(boxes, gts)))
+    # corners return 0.5px outward: decode omits the +-0.5 of the true
+    # legacy coder (reference legacy_delta_xywh_bbox_coder.py:203 note)
+    np.testing.assert_allclose(back, [[11.5, 7.5, 48.5, 36.5]], atol=1e-3)

@@ -166,3 +166,19 @@ def test_resnet_caffe_style_stride_on_conv1():
     assert any(
         float(jnp.abs(a - b).max()) > 1e-3
         for a, b in zip(outs['pytorch'], outs['caffe']))
+
+
+def test_resnest_split_attention():
+    """ResNeSt-50 (reference backbones/resnest.py): split-attention conv2
+    (radix softmax), avg_down_stride pooling, V1d deep stem; backbone param
+    count matches torch ResNeSt-50 minus its fc (~25.4M)."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    net = BACKBONES.build(dict(type='ResNeSt', depth=50, stem_channels=64,
+                               radix=2, reduction_factor=4,
+                               out_indices=(0, 1, 2, 3), norm_eval=False))
+    v = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(v, x, train=False)
+    assert [o.shape for o in outs] == [(1, 16, 16, 256), (1, 8, 8, 512),
+                                       (1, 4, 4, 1024), (1, 2, 2, 2048)]
+    n = sum(p.size for p in jax.tree_util.tree_leaves(v['params']))
+    assert 25.0e6 < n < 26.0e6, n

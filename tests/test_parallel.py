@@ -212,3 +212,54 @@ def test_paramwise_cfg_optimizer():
     u3, _ = tx3.update(grads, tx3.init(params), params)
     assert np.allclose(u3['backbone']['conv1']['kernel'], 0.0)
     assert np.allclose(u3['head']['fc']['kernel'], -0.1)
+
+
+def test_live_bn_stats_update_with_frozen_stage_eval():
+    """norm_eval=False training (NAS-FPN recipe): BN running stats update
+    through the jitted train step for unfrozen stages and the SepBN head,
+    while the frozen stem/stage-1 BNs stay in eval mode (reference
+    resnet.py _freeze_stages + retina_sepbn_head.py semantics)."""
+    import copy
+    import jax.tree_util as jtu
+    from ld_tpu import Config
+
+    cfg = Config.fromfile(
+        'configs/nas_fpn/retinanet_r50_nasfpn_crop640_50e_coco.py')
+    mc = copy.deepcopy(dict(cfg.model))
+    mc['backbone'].update(depth=18)
+    mc['neck'].update(in_channels=[128, 256, 512], stack_times=1,
+                      out_channels=64)
+    mc['bbox_head'].update(in_channels=64, feat_channels=64, stacked_convs=1)
+    det = build_detector(mc)
+    mesh = create_mesh(('data', ), devices=jax.devices()[:1])
+    sched = build_lr_schedule(0.01, dict(warmup_iters=2, step=[100]), 4, 12)
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 256, 256, 3))
+    tx = build_optimizer(dict(type='SGD', lr=0.01, momentum=0.9,
+                              weight_decay=1e-4), sched, v['params'],
+                         frozen_prefixes=det.frozen_param_paths())
+    state = create_train_state(det, jax.random.PRNGKey(0), tx,
+                               (1, 256, 256, 3))
+    before = jtu.tree_map(lambda x: np.asarray(x).copy(), state.batch_stats)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0] = [16, 16, 128, 140]
+    valid = np.zeros((1, 4), bool)
+    valid[0, 0] = True
+    batch = shard_batch(dict(
+        image=jnp.asarray(np.random.RandomState(0).randn(1, 256, 256, 3),
+                          jnp.float32),
+        gt_bboxes=jnp.asarray(gt), gt_labels=jnp.zeros((1, 4), jnp.int32),
+        gt_valid=jnp.asarray(valid), img_hw=jnp.asarray([[256., 256.]])),
+        mesh)
+    state2, _ = step(state, batch)
+    after = jtu.tree_map(np.asarray, state2.batch_stats)
+    assert np.allclose(after['backbone']['norm1']['bn']['mean'],
+                       before['backbone']['norm1']['bn']['mean'])
+    assert np.allclose(after['backbone']['layer1_0']['norm1']['bn']['mean'],
+                       before['backbone']['layer1_0']['norm1']['bn']['mean'])
+    assert not np.allclose(
+        after['backbone']['layer2_0']['norm1']['bn']['mean'],
+        before['backbone']['layer2_0']['norm1']['bn']['mean'])
+    assert any(not np.allclose(a, b) for a, b in zip(
+        jtu.tree_leaves(after['head_net']),
+        jtu.tree_leaves(before['head_net'])))
