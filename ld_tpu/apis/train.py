@@ -85,6 +85,15 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
 
     detector = build_detector(cfg.model)
     has_teacher = hasattr(detector, 'teacher')
+    # reference NumClassCheckHook: dataset class count must match the head
+    ds_classes = getattr(dataset, 'CLASSES', None)
+    head = getattr(detector, 'bbox_head', None)
+    if ds_classes and head is not None and \
+            getattr(head, 'num_classes', None) not in (None,
+                                                       len(ds_classes)):
+        logger.warning(
+            f'dataset has {len(ds_classes)} classes but '
+            f'bbox_head.num_classes={head.num_classes} — check the config')
 
     init_shape = (1, ) + max_pad_hw + (3, )
     schedule = build_lr_schedule(cfg.optimizer['lr'], cfg.get('lr_config', {}),
@@ -103,6 +112,19 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                                                jax.random.PRNGKey(1),
                                                init_shape)
 
+    if cfg.get('load_from'):
+        # reference runner.load_checkpoint semantics: weights only (params +
+        # batch_stats), optimizer state and step start fresh — fine-tuning
+        src = str(cfg['load_from'])
+        logger.info(f'loading weights from {src}')
+        if src.endswith('.pth'):
+            loaded = load_torch_checkpoint(src)
+            loaded.pop('_unmapped', None)
+        else:
+            loaded = load_variables(src)
+        state = state._replace(
+            params=loaded['params'],
+            batch_stats=loaded.get('batch_stats', state.batch_stats))
     if cfg.get('resume_from'):
         state = load_checkpoint(cfg['resume_from'], state)
         logger.info(f'resumed from step {int(state.step)}')
