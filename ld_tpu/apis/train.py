@@ -144,6 +144,34 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     json_log = open(os.path.join(work_dir, 'log.json'), 'a')
     global_step = int(state.step)
     best_score = float('-inf')  # EvalHook save_best tracking
+
+    # TensorboardLoggerHook parity (default_runtime log_config.hooks):
+    # activated by listing it, exactly like the reference
+    tb_writer = None
+    if any(h.get('type') == 'TensorboardLoggerHook'
+           for h in cfg.get('log_config', {}).get('hooks', [])):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(os.path.join(work_dir, 'tf_logs'))
+        except ImportError:
+            logger.warning('TensorboardLoggerHook requested but no '
+                           'tensorboard available')
+
+    # Preemption-safe training (the TPU answer to SURVEY §5.3's recovery
+    # gap — TPU VMs are preemptible): SIGTERM triggers a checkpoint at the
+    # next step boundary, so `resume_from` continues exactly where the
+    # preemption hit instead of at the last epoch end.
+    import signal
+    preempted = {'flag': False}
+
+    def _on_sigterm(signum, frame):
+        preempted['flag'] = True
+        logger.warning('SIGTERM received — checkpointing at next step')
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread
+        prev_handler = None
     metrics = {}
     t_last = time.perf_counter()
     start_epoch = global_step // max(steps_per_epoch, 1)
@@ -164,6 +192,19 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                 logger.info(' '.join(f'{k}={v}' for k, v in line.items()))
                 json_log.write(json.dumps(line) + '\n')
                 json_log.flush()
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        tb_writer.add_scalar(f'train/{k}', v, global_step)
+                    tb_writer.add_scalar('train/lr', lr, global_step)
+            if preempted['flag']:
+                save_checkpoint(work_dir, state)
+                logger.warning(
+                    f'preemption checkpoint at step {global_step} — resume '
+                    f"with resume_from='{work_dir}'")
+                json_log.close()
+                return dict(state=state, metrics={}, detector=detector,
+                            mesh=mesh, teacher_vars=teacher_vars,
+                            preempted=True)
             if max_steps and global_step >= max_steps:
                 break
         # checkpoint hook (parity: mmcv CheckpointHook — checkpoint_config
@@ -214,6 +255,10 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         if max_steps and global_step >= max_steps:
             break
     json_log.close()
+    if tb_writer is not None:
+        tb_writer.close()
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return dict(state=state, metrics={k: float(v) for k, v in
                                       metrics.items()} if metrics else {},
                 detector=detector, mesh=mesh, teacher_vars=teacher_vars)
