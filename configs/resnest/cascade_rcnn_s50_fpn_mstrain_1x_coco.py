@@ -1,10 +1,12 @@
-# Cascade R-CNN with ResNeSt-50 backbone (SyncBN-in-backbone recipe; on TPU
-# the data-parallel step computes BN over the per-device batch — the SPMD
-# analogue — with live stats via norm_eval=False).
+# Cascade R-CNN with ResNeSt-50 backbone.
 # Parity: /root/reference/configs/resnest/
-# cascade_rcnn_s50_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py.
-_base_ = ['../cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py',
-          '../_base_/mstrain_480_800.py']
+# cascade_rcnn_s50_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py —
+# ResNeSt normalization (mean 123.68/116.779/103.939), mstrain short side
+# 640..800 (per-batch scales over static buckets here), live backbone BN
+# (the SyncBN there; the SPMD per-device-batch BN here). DEVIATION: the
+# reference also puts SyncBN inside the Shared4Conv1FCBBoxHead towers;
+# this config keeps the default norm-free cascade heads.
+_base_ = ['../cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py']
 model = dict(
     pretrained='open-mmlab://resnest50',
     backbone=dict(
@@ -20,3 +22,30 @@ model = dict(
         frozen_stages=1,
         norm_eval=False,
         style='pytorch'))
+img_norm_cfg = dict(
+    mean=[123.68, 116.779, 103.939], std=[58.393, 57.12, 57.375],
+    to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='FusedPreprocess', img_scale=(1333, 800), size_divisor=32,
+         **img_norm_cfg),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='FusedPreprocess', img_scale=(1333, 800), size_divisor=32,
+         **img_norm_cfg),
+    dict(type='Collect', keys=['img']),
+]
+data = dict(train=dict(pipeline=train_pipeline),
+            val=dict(pipeline=test_pipeline),
+            test=dict(pipeline=test_pipeline))
+# mstrain range 640..800 on a /32 grid, one scale per batch
+batch_scales = [(1333, 640), (1333, 672), (1333, 704), (1333, 736),
+                (1333, 768), (1333, 800)]
+pad_to = [(640, 1344), (672, 1344), (704, 1344), (736, 1344), (768, 1344),
+          (800, 1344),
+          (1344, 640), (1344, 672), (1344, 704), (1344, 736), (1344, 768),
+          (1344, 800)]

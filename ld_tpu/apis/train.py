@@ -119,7 +119,13 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         logger.info(f'loading weights from {src}')
         if src.endswith('.pth'):
             loaded = load_torch_checkpoint(src)
-            loaded.pop('_unmapped', None)
+            unmapped = loaded.pop('_unmapped', [])
+            if unmapped:
+                logger.warning(
+                    f'load_from: {len(unmapped)} torch keys did not map '
+                    f'(first few: {unmapped[:5]}) — the matching ld_tpu '
+                    'params keep their fresh init; convert explicitly with '
+                    'tools/model_converters/mmdet2ldtpu.py to audit')
         else:
             loaded = load_variables(src)
         state = state._replace(
@@ -175,9 +181,23 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     metrics = {}
     t_last = time.perf_counter()
     start_epoch = global_step // max(steps_per_epoch, 1)
+    ckpt_cfg = cfg.get('checkpoint_config', {}) or {}
+    last_saved_step = -1
+    stop = False
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
-        for batch in device_prefetch(loader, mesh):
+        batch_iter = iter(loader)
+        if epoch == start_epoch and global_step > epoch * steps_per_epoch:
+            # mid-epoch resume (preemption checkpoint): the epoch's shuffle
+            # is deterministic in (seed, epoch), so skipping the
+            # already-trained prefix continues with exactly the batches the
+            # interrupted run never saw
+            skip = global_step - epoch * steps_per_epoch
+            logger.info(f'mid-epoch resume: skipping first {skip} batches '
+                        f'of epoch {epoch + 1}')
+            import itertools
+            batch_iter = itertools.islice(batch_iter, skip, None)
+        for batch in device_prefetch(batch_iter, mesh):
             state, metrics = step_fn(state, batch, teacher_vars) \
                 if has_teacher else step_fn(state, batch)
             global_step += 1
@@ -197,27 +217,28 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                         tb_writer.add_scalar(f'train/{k}', v, global_step)
                     tb_writer.add_scalar('train/lr', lr, global_step)
             if preempted['flag']:
-                save_checkpoint(work_dir, state)
+                save_checkpoint(work_dir, state,
+                                keep=ckpt_cfg.get('max_keep_ckpts', 3))
+                last_saved_step = global_step
                 logger.warning(
                     f'preemption checkpoint at step {global_step} — resume '
                     f"with resume_from='{work_dir}'")
-                json_log.close()
-                return dict(state=state, metrics={}, detector=detector,
-                            mesh=mesh, teacher_vars=teacher_vars,
-                            preempted=True)
+                stop = True
+                break
             if max_steps and global_step >= max_steps:
+                stop = True
                 break
         # checkpoint hook (parity: mmcv CheckpointHook — checkpoint_config
         # interval in epochs, max_keep_ckpts)
-        ckpt_cfg = cfg.get('checkpoint_config', {}) or {}
         ckpt_every = ckpt_cfg.get('interval', 1)
-        if ckpt_every and (epoch + 1) % ckpt_every == 0:
+        if not stop and ckpt_every and (epoch + 1) % ckpt_every == 0:
             save_checkpoint(work_dir, state,
                             keep=ckpt_cfg.get('max_keep_ckpts', 3))
+            last_saved_step = global_step
         # eval hook (parity: mmdet EvalHook, eval_hooks.py:14)
         eval_every = eval_interval_epochs or cfg.get('evaluation', {}).get(
             'interval', 0)
-        if eval_every and (epoch + 1) % eval_every == 0 and \
+        if not stop and eval_every and (epoch + 1) % eval_every == 0 and \
                 'val' in cfg.get('data', {}):
             try:
                 from ld_tpu.apis.test import eval_detector
@@ -252,8 +273,13 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                             f'(epoch {epoch + 1}) -> best_{best_key}.npz')
             except FileNotFoundError as e:
                 logger.warning(f'eval skipped: {e}')
-        if max_steps and global_step >= max_steps:
+        if stop:
             break
+    if last_saved_step != global_step:
+        # final-weights guarantee: a max_steps exit or a non-multiple
+        # checkpoint interval must still leave the latest state on disk
+        save_checkpoint(work_dir, state,
+                        keep=ckpt_cfg.get('max_keep_ckpts', 3))
     json_log.close()
     if tb_writer is not None:
         tb_writer.close()
@@ -261,4 +287,5 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         signal.signal(signal.SIGTERM, prev_handler)
     return dict(state=state, metrics={k: float(v) for k, v in
                                       metrics.items()} if metrics else {},
-                detector=detector, mesh=mesh, teacher_vars=teacher_vars)
+                detector=detector, mesh=mesh, teacher_vars=teacher_vars,
+                preempted=preempted['flag'])

@@ -126,6 +126,22 @@ class DataLoader:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
         scale_rng = np.random.RandomState(self.sampler.seed + self.epoch + 1)
+
+        def fetch(i):
+            # pipelines may drop a sample (FilterAnnotations, Albu
+            # skip_img_without_anno -> None); redraw like the reference's
+            # CustomDataset._rand_another retry loop (custom.py:179)
+            s = self.dataset[int(i)]
+            tries = 0
+            while s is None:
+                tries += 1
+                if tries > 100:
+                    raise RuntimeError(
+                        'pipeline returned None for 100 consecutive '
+                        'redraws — is every sample being filtered?')
+                s = self.dataset[int(np.random.randint(len(self.dataset)))]
+            return s
+
         try:
             for idx in batches:
                 if self.batch_scales:
@@ -137,10 +153,9 @@ class DataLoader:
                     for t in self._scale_carriers:
                         t.batch_scale = scale
                 if pool is not None:
-                    samples = list(pool.map(
-                        lambda i: self.dataset[int(i)], idx))
+                    samples = list(pool.map(fetch, idx))
                 else:
-                    samples = [self.dataset[int(i)] for i in idx]
+                    samples = [fetch(i) for i in idx]
                 q.put(collate_batch(samples, self.pad_hw, self.max_gts))
         finally:
             if pool is not None:

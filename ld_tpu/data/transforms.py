@@ -179,15 +179,23 @@ class RandomFlip:
         results['flip_direction'] = self.direction
         if not flip:
             return results
-        results['img'] = np.ascontiguousarray(results['img'][:, ::-1])
+        horiz = self.direction == 'horizontal'
+        sl = (slice(None), slice(None, None, -1)) if horiz \
+            else (slice(None, None, -1), )
+        results['img'] = np.ascontiguousarray(results['img'][sl])
         if 'gt_bboxes' in results:
-            w = results['img_shape'][1]
             bb = results['gt_bboxes'].copy()
-            bb[:, 0] = w - results['gt_bboxes'][:, 2]
-            bb[:, 2] = w - results['gt_bboxes'][:, 0]
+            if horiz:
+                w = results['img_shape'][1]
+                bb[:, 0] = w - results['gt_bboxes'][:, 2]
+                bb[:, 2] = w - results['gt_bboxes'][:, 0]
+            else:
+                h = results['img_shape'][0]
+                bb[:, 1] = h - results['gt_bboxes'][:, 3]
+                bb[:, 3] = h - results['gt_bboxes'][:, 1]
             results['gt_bboxes'] = bb
         if 'gt_masks' in results:
-            results['gt_masks'] = [np.ascontiguousarray(m[:, ::-1])
+            results['gt_masks'] = [np.ascontiguousarray(m[sl])
                                    for m in results['gt_masks']]
         return results
 
@@ -811,11 +819,22 @@ class MultiScaleFlipAug:
 
     def __init__(self, transforms, img_scale=None, flip=False,
                  flip_direction='horizontal', scale_factor=None):
-        self.transforms = transforms
+        # the wrapped pipeline is static — build ONCE, not per sample/view
+        self.pipeline = Compose([dict(t) if isinstance(t, dict) else t
+                                 for t in transforms])
         scales = img_scale if isinstance(img_scale, list) else [img_scale]
         self.img_scales = [tuple(s) if s else None for s in scales]
         self.flip = flip
+        self.flip_direction = flip_direction
         self.scale_factor = scale_factor
+        if len(self.img_scales) > 1 or flip:
+            import warnings
+            warnings.warn(
+                'MultiScaleFlipAug with multiple views: the standard '
+                'batched eval path consumes only the first (unflipped) '
+                "view; run true TTA through ld_tpu.apis.aug_test, which "
+                "reads the 'aug_views' list this transform attaches.",
+                stacklevel=2)
 
     def __call__(self, results: Dict) -> Dict:
         import copy
@@ -825,12 +844,10 @@ class MultiScaleFlipAug:
                 r = copy.deepcopy(results)
                 if scale is not None:
                     r['scale'] = scale
-                pipeline = Compose(
-                    [dict(t) if isinstance(t, dict) else t
-                     for t in self.transforms])
                 if do_flip:
-                    r = RandomFlip(flip_ratio=1.0)(r)
-                r = pipeline(r)
+                    r = RandomFlip(flip_ratio=1.0,
+                                   direction=self.flip_direction)(r)
+                r = self.pipeline(r)
                 r['flip'] = do_flip
                 views.append(r)
         out = views[0]
@@ -931,12 +948,17 @@ class RandomCenterCropPad:
             d = self.test_pad_mode[1]
             th = int(np.ceil(h / d)) * d
             tw = int(np.ceil(w / d)) * d
-        canvas, _ = self._paste(img, h // 2, w // 2, th, tw)
+        # DELIBERATE deviation from the reference's centered test paste:
+        # the content goes TOP-LEFT (border = 0), so predicted boxes stay in
+        # image coordinates without threading the reference's `border`
+        # offset through img_metas into every head's decode, and the
+        # [0,h)x[0,w) valid-region mask (img_hw) still covers the content.
+        canvas = np.empty((th, tw, img.shape[2]), img.dtype)
+        canvas[:] = self.fill
+        canvas[:h, :w] = img
         results['img'] = canvas
         results['pad_shape'] = canvas.shape
-        results['border'] = np.array(
-            [th // 2 - h // 2, th // 2 + h - h // 2,
-             tw // 2 - w // 2, tw // 2 + w - w // 2], np.float32)
+        results['border'] = np.zeros(4, np.float32)
         return results
 
     def __call__(self, results: Dict) -> Dict:

@@ -246,13 +246,18 @@ class ResNet(nn.Module):
         return tuple(outs)
 
     def frozen_param_paths(self):
-        """Dot-path prefixes of parameters that receive no updates."""
+        """Path patterns of parameters that receive no updates (consumed by
+        parallel/optim.frozen_mask; '*' patterns fnmatch full paths)."""
         paths = []
         if self.frozen_stages >= 0:
             paths += ['conv1', 'norm1', 'stem_conv1', 'stem_norm1',
                       'stem_conv2', 'stem_norm2', 'stem_conv3', 'stem_norm3']
         for stage in range(1, self.frozen_stages + 1):
             paths.append(f'layer{stage}_')
+        if self.norm_cfg and self.norm_cfg.get('requires_grad') is False:
+            # reference norm_cfg=dict(requires_grad=False) (caffe Detectron
+            # backbones): every BN gamma/beta in the backbone is frozen
+            paths.append('*/bn/*')
         return paths
 
 

@@ -24,12 +24,22 @@ def _path_str(path) -> str:
 
 
 def frozen_mask(params, frozen_prefixes: Sequence[str]):
-    """Pytree of bools: True = trainable, False = frozen."""
+    """Pytree of bools: True = trainable, False = frozen.
+
+    A pattern freezes a leaf when the leaf's '/'-joined path starts with
+    it, contains '/<pattern>', or (for patterns containing a '*')
+    fnmatch-matches it — e.g. 'backbone/*/bn/*' freezes every backbone BN
+    affine param (norm_cfg requires_grad=False semantics)."""
+    from fnmatch import fnmatch
+
+    def hit(s, p):
+        if '*' in p:
+            return fnmatch(s, p)
+        return s.startswith(p) or ('/' + p) in s
 
     def trainable(path, _):
         s = _path_str(path)
-        return not any(s.startswith(p) or ('/' + p) in s
-                       for p in frozen_prefixes)
+        return not any(hit(s, p) for p in frozen_prefixes)
 
     return jax.tree_util.tree_map_with_path(trainable, params)
 

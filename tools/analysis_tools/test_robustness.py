@@ -49,6 +49,13 @@ def main():
         return {k: float(v) for k, v in ds.evaluate(dets).items()
                 if isinstance(v, (int, float))}
 
+    def headline(metrics):
+        # dataset-dependent headline key: COCO bbox_mAP, VOC mAP/AP50
+        for key in ('bbox_mAP', 'mAP', 'AP50'):
+            if key in metrics:
+                return metrics[key]
+        return next(iter(metrics.values()))
+
     # reference result layout (test_robustness.py:~380 aggregated_results):
     # {corruption: {severity: {metric: value}}}; severity 0 = clean
     for corruption in args.corruptions:
@@ -57,13 +64,15 @@ def main():
             m = run(dict(type='Corrupt', corruption=corruption,
                          severity=sev))
             results[corruption][sev] = m
-            print(f'{corruption} s{sev}: mAP {m.get("bbox_mAP", 0):.4f}')
+            print(f'{corruption} s{sev}: mAP {headline(m):.4f}')
+        with open(args.out, 'w') as f:  # incremental: survive crashes
+            json.dump(results, f)
     clean = run()
     for corruption in args.corruptions:
         results[corruption][0] = clean
-    corrupted = [results[c][s]['bbox_mAP'] for c in args.corruptions
+    corrupted = [headline(results[c][s]) for c in args.corruptions
                  for s in args.severities]
-    summary = dict(P=clean['bbox_mAP'], mPC=float(np.mean(corrupted)))
+    summary = dict(P=headline(clean), mPC=float(np.mean(corrupted)))
     summary['rPC'] = summary['mPC'] / max(summary['P'], 1e-6)
     print(json.dumps(summary, indent=2))
     with open(args.out, 'w') as f:
