@@ -101,6 +101,29 @@ def show_result(img: Union[str, np.ndarray], result: Dict, class_names=None,
     return img
 
 
+def imshow_gt_det_bboxes(img, annotation: Dict, result: Dict,
+                         class_names=None, score_thr: float = 0.3,
+                         out_file: Optional[str] = None):
+    """GT (blue) + detections (green) on one image.
+
+    Parity: /root/reference/mmdet/core/visualization/image.py:189
+    (imshow_gt_det_bboxes, used by analyze_results/browse_dataset).
+    """
+    import cv2
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    img = img.copy()
+    for box, label in zip(annotation.get('bboxes', []),
+                          annotation.get('labels', [])):
+        x1, y1, x2, y2 = np.asarray(box[:4]).astype(int)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 144, 30), 2)
+        name = class_names[int(label)] if class_names else str(int(label))
+        cv2.putText(img, name, (x1, max(y1 - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 144, 30), 1)
+    return show_result(img, result, class_names=class_names,
+                       score_thr=score_thr, out_file=out_file)
+
+
 async def async_inference_detector(detector, variables, img, **kwargs):
     """Async wrapper for concurrent-request serving.
 

@@ -58,6 +58,14 @@ class CocoDataset:
         cats = sorted(coco['categories'], key=lambda c: c['id'])
         wanted = {c['id']: c['name'] for c in cats
                   if c['name'] in self.CLASSES}
+        if not wanted:
+            import warnings
+            warnings.warn(
+                f'{ann_file}: NONE of the {len(cats)} annotation categories '
+                f'match this dataset\'s CLASSES — every annotation will be '
+                f'dropped (and with filter_empty_gt, every image). Pass '
+                f"classes=('name', ...) to the dataset config.",
+                stacklevel=2)
         # contiguous label ids in CLASSES order
         name_to_label = {n: i for i, n in enumerate(self.CLASSES)}
         self.cat_id_to_label = {cid: name_to_label[n]

@@ -35,6 +35,9 @@ def main():
     p.add_argument('config')
     p.add_argument('results')
     p.add_argument('--topk', type=int, default=10)
+    p.add_argument('--show-dir', default=None,
+                   help='save GT-vs-pred visualizations of the ranked '
+                        'images here (reference imshow_gt_det_bboxes)')
     args = p.parse_args()
     cfg = Config.fromfile(args.config)
     dataset = build_dataset(cfg.data['test'])
@@ -49,6 +52,25 @@ def main():
     print('best images:')
     for i in order[::-1][:args.topk]:
         print(f'  {dataset.img_infos[i]["filename"]}: {scores[i]:.3f}')
+    if args.show_dir:
+        from ld_tpu.apis import imshow_gt_det_bboxes
+        os.makedirs(args.show_dir, exist_ok=True)
+        prefix = getattr(dataset, 'img_prefix', '') or ''
+        for tag, idxs in (('worst', order[:args.topk]),
+                          ('best', order[::-1][:args.topk])):
+            for rank, i in enumerate(idxs):
+                info = dataset.img_infos[i]
+                img_path = os.path.join(prefix, info['filename'])
+                ann = dataset.get_ann_info(i)
+                out = os.path.join(
+                    args.show_dir,
+                    f'{tag}_{rank}_{scores[i]:.3f}_' +
+                    os.path.basename(info['filename']))
+                imshow_gt_det_bboxes(img_path, ann, results[i],
+                                     class_names=getattr(dataset, 'CLASSES',
+                                                         None),
+                                     out_file=out)
+        print(f'visualizations -> {args.show_dir}')
 
 
 if __name__ == '__main__':
