@@ -194,7 +194,12 @@ class SyntheticDetectionDataset:
     CLASSES = COCO_CLASSES
 
     def __init__(self, num_images=64, hw=(160, 224), num_classes=80,
-                 max_boxes=6, pipeline=None, seed=0, **kwargs):
+                 max_boxes=6, pipeline=None, seed=0, draw_boxes=False,
+                 **kwargs):
+        # draw_boxes=True paints each GT region in a class-determined color
+        # so the objects are VISUALLY detectable — enables real
+        # generalization/distillation experiments on held-out synthetic
+        # splits (plain mode is pure noise: boxes are only memorizable)
         self.num_images = num_images
         self.hw = hw
         rng = np.random.RandomState(seed)
@@ -219,8 +224,17 @@ class SyntheticDetectionDataset:
                 bboxes=bboxes, labels=labels,
                 bboxes_ignore=np.zeros((0, 4), np.float32),
                 masks=masks))
-            self._images.append(
-                rng.randint(0, 255, (hw[0], hw[1], 3)).astype(np.uint8))
+            img = rng.randint(0, 255, (hw[0], hw[1], 3)).astype(np.uint8)
+            if draw_boxes:
+                img //= 4  # dim background so objects stand out
+                for bb, lab in zip(bboxes, labels):
+                    x1, y1, x2, y2 = bb.astype(int)
+                    color_rng = np.random.RandomState(int(lab) + 1)
+                    color = color_rng.randint(100, 256, 3)
+                    img[y1:y2, x1:x2] = (
+                        color[None, None, :] * 0.8 +
+                        img[y1:y2, x1:x2] * 0.2).astype(np.uint8)
+            self._images.append(img)
         self.flag = np.zeros(num_images, np.uint8)
         self.pipeline = Compose(pipeline or [])
         self.cat_id_to_label = {i + 1: i for i in range(num_classes)}
