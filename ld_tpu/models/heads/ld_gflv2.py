@@ -94,7 +94,7 @@ class LDv2Head(LDHead):
         return losses
 
     def _gi_mask(self, cls_flat, soft_label_flat, pred_flat, soft_pred_flat,
-                 centers, lo, hi, gi_candidates=512, gi_top=10):
+                 centers, gi_candidates=512, gi_top=10):
         """Override: v2 GI uses raw score difference without sigmoids."""
         from ld_tpu.ops import distance2bbox, integral
         from ld_tpu.ops.nms import nms

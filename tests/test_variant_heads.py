@@ -79,3 +79,35 @@ def test_ld_retina():
         loss_kd=dict(type='KnowledgeDistillationKLDivLoss', loss_weight=10, T=8)),
         maxiou, ld=True, teacher_head=ret_head)
 
+
+
+def test_ldv2_gibox_imitation_trains():
+    """Regression: LDv2Head._gi_mask must keep the parent call signature —
+    the shipped ldv2 config (imitation_method='gibox', loss_im weight 2,
+    output_feature=True) crashed with a TypeError before the fix."""
+    atss = dict(assigner=dict(type='ATSSAssigner', topk=9),
+                allowed_border=-1, pos_weight=-1)
+    qfl = dict(type='QualityFocalLoss', use_sigmoid=False, beta=2.0,
+               loss_weight=1.0)
+    ag2 = dict(type='AnchorGenerator', ratios=[1.0], octave_base_scale=8,
+               scales_per_octave=1, strides=[8, 16, 32, 64, 128])
+    v2_teacher = dict(type='GFocalHead', anchor_generator=ag2, loss_cls=qfl,
+                      loss_bbox=gi, reg_topk=4, reg_channels=16,
+                      add_mean=True, reg_max=16, **common)
+    v2_student = dict(v2_teacher, type='LDv2Head',
+                      loss_ld=dict(type='KnowledgeDistillationKLDivLoss',
+                                   loss_weight=0.25, T=10),
+                      loss_im=dict(type='IMLoss', loss_weight=2.0),
+                      imitation_method='gibox')
+    cfg = dict(type='KnowledgeDistillationSingleStageDetector',
+               bbox_head=v2_student, train_cfg=atss,
+               teacher_config=dict(model=dict(type='GFL',
+                                              bbox_head=v2_teacher,
+                                              train_cfg=atss, **base)),
+               output_feature=True, **base)
+    det = build_detector(cfg)
+    sv = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    tv = det.init_teacher_variables(jax.random.PRNGKey(1), (1, 64, 96, 3))
+    losses = det.forward_train(sv, batch, teacher_variables=tv)
+    assert float(losses['loss_im']) != 0.0
+    assert all(np.isfinite(float(x)) for x in losses.values())
