@@ -203,6 +203,19 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
             global_step += 1
             if global_step % log_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                # divergence guard: jax_debug_nans does not reliably fire
+                # through pjit, so check the host-side metrics explicitly
+                # (mmcv has no equivalent; NaN there poisons silently)
+                if not all(np.isfinite(v) for v in metrics.values()):
+                    logger.error(
+                        f'NON-FINITE loss at step {global_step}: {metrics} '
+                        '— stopping. Lower the lr / enable grad_clip '
+                        '(optimizer_config.grad_clip) or warmup_iters.')
+                    json_log.write(json.dumps(
+                        dict(mode='train', iter=global_step,
+                             error='non-finite loss')) + '\n')
+                    stop = True
+                    break
                 dt = (time.perf_counter() - t_last) / log_interval
                 t_last = time.perf_counter()
                 lr = float(schedule(global_step))

@@ -21,12 +21,16 @@ VOC_CLASSES = ('aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus',
                'train', 'tvmonitor')
 
 
-@DATASETS.register_module()
+@DATASETS.register_module(name=['VOCDataset', 'XMLDataset'])
 class VOCDataset:
+    """Also registered as XMLDataset (reference xml_style.py base): the
+    generic Pascal-style XML annotation reader with a classes override."""
     CLASSES = VOC_CLASSES
 
     def __init__(self, ann_file, pipeline, img_prefix='', test_mode=False,
-                 min_size=None, **kwargs):
+                 min_size=None, classes=None, **kwargs):
+        if classes is not None:
+            self.CLASSES = tuple(classes)
         # ann_file/img_prefix may be parallel LISTS (the reference's VOC
         # 07+12 trainval configs, e.g. gfl_r18_fpn1x_voc.py: one split file
         # per VOC year); the splits are concatenated into one dataset

@@ -1,4 +1,5 @@
-"""Sparse R-CNN: learnable proposals + iterative dynamic-interaction heads.
+"""Sparse R-CNN: learnable proposals + iterative dynamic-interaction heads
+(reference EmbeddingRPNHead + SparseRoIHead + DIIHead stack).
 
 Parity: /root/reference/mmdet/models/detectors/sparse_rcnn.py +
 dense_heads/embedding_rpn_head.py + roi_heads/sparse_roi_head.py +

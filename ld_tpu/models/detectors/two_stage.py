@@ -56,6 +56,12 @@ class TwoStageDetector:
         roi_cfg = dict(roi_head or dict(type='StandardRoIHead'))
         roi_cfg.setdefault('train_cfg', train_cfg.get('rcnn'))
         roi_cfg.setdefault('test_cfg', test_cfg.get('rcnn'))
+        # reference sabl configs express SABL as bbox_head type='SABLHead'
+        # inside StandardRoIHead — route to the bucketing roi head
+        bh = roi_cfg.get('bbox_head') or {}
+        if not isinstance(bh, list) and bh.get('type') == 'SABLHead' and \
+                roi_cfg.get('type') == 'StandardRoIHead':
+            roi_cfg['type'] = 'SABLRoIHead'
         self.roi_head = HEADS.build(roi_cfg)
         self.net = TwoStageNet(self.backbone, self.neck, self.rpn_head.net)
         self.num_classes = self.roi_head.num_classes

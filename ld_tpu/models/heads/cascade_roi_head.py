@@ -60,14 +60,18 @@ class CascadeRoIHead(StandardRoIHead):
                                     DEFAULT_IOUS[min(i, 2)])
             for i in range(num_stages)
         ]
-        self.nets = [
-            Shared2FCBBoxHeadNet(
+        from .roi_head import _convfc_shape
+        self.nets = []
+        for i in range(num_stages):
+            bh = bbox_heads[i] or {}
+            n_convs, n_fcs = _convfc_shape(bh)
+            self.nets.append(Shared2FCBBoxHeadNet(
                 num_classes=self.num_classes, roi_size=self.roi_size,
-                in_channels=(bbox_heads[i] or {}).get('in_channels', 256),
-                fc_dim=(bbox_heads[i] or {}).get('fc_out_channels', 1024),
-                reg_class_agnostic=True, dtype=dtype)
-            for i in range(num_stages)
-        ]
+                in_channels=bh.get('in_channels', 256),
+                fc_dim=bh.get('fc_out_channels', 1024),
+                num_convs=n_convs, num_fcs=n_fcs,
+                conv_dim=bh.get('conv_out_channels', 256),
+                reg_class_agnostic=True, dtype=dtype))
         self.net = self.nets[0]
 
     # ---- variables ------------------------------------------------------------

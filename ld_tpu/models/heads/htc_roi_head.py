@@ -26,7 +26,9 @@ EPS = 1e-6
 
 
 class HTCMaskNet(nn.Module):
-    """FCN mask head that also exposes its pre-deconv feature (info flow)."""
+    """FCN mask head exposing its pre-deconv feature: the reference's
+    HTCMaskHead + FeatureRelayHead mask-information-flow roles.
+    The FusedSemanticHead role is SemanticHeadNet below."""
     num_classes: int
     num_convs: int = 4
     conv_out: int = 256
@@ -257,7 +259,8 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
 
 
 class GlobalContextNet(nn.Module):
-    """SCNet glbctx head: pooled pyramid feature -> fcs -> multilabel
+    """SCNet glbctx head (reference GlobalContextHead):
+    pooled pyramid feature -> fcs -> multilabel
     class logits + a context vector fused into the roi branches."""
     num_classes: int
     channels: int = 256

@@ -27,19 +27,33 @@ from .rpn_head import randomized_topk_mask
 
 
 class Shared2FCBBoxHeadNet(nn.Module):
+    """ConvFC roi bbox head (reference roi_heads/bbox_heads/
+    convfc_bbox_head.py ConvFCBBoxHead): `num_convs` shared 3x3 convs then
+    `num_fcs` shared FCs, then cls/reg linears. Shared2FCBBoxHead = (0, 2),
+    Shared4Conv1FCBBoxHead = (4, 1); the class name keeps the historical
+    default for checkpoint-path stability."""
     num_classes: int
     fc_dim: int = 1024
     roi_size: int = 7
     in_channels: int = 256
     reg_class_agnostic: bool = False
+    num_convs: int = 0
+    num_fcs: int = 2
+    conv_dim: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats (R, 7, 7, C) -> cls (R, num_classes+1), reg (R, 4[*C])."""
-        x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc1')(x))
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc2')(x))
+        x = roi_feats
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_dim, (3, 3),
+                                padding=[(1, 1)] * 2, dtype=self.dtype,
+                                name=f'conv{i+1}')(x))
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                                 name=f'fc{i+1}')(x))
         cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                        kernel_init=nn.initializers.normal(0.01),
                        name='fc_cls')(x)
@@ -48,6 +62,26 @@ class Shared2FCBBoxHeadNet(nn.Module):
                        kernel_init=nn.initializers.normal(0.001),
                        name='fc_reg')(x)
         return cls.astype(jnp.float32), reg.astype(jnp.float32)
+
+
+ConvFCBBoxHeadNet = Shared2FCBBoxHeadNet
+
+
+def _convfc_shape(bbox_head: dict):
+    """(num_convs, num_fcs) from the reference bbox_head type string or
+    explicit ConvFCBBoxHead fields."""
+    import re
+    t = bbox_head.get('type', 'Shared2FCBBoxHead')
+    if t == 'ConvFCBBoxHead':
+        return (bbox_head.get('num_shared_convs', 0),
+                bbox_head.get('num_shared_fcs', 2))
+    m = re.match(r'Shared(\d+)Conv(\d+)FCBBoxHead', t)
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    m = re.match(r'Shared(\d+)FCBBoxHead', t)
+    if m:
+        return 0, int(m.group(1))
+    return 0, 2
 
 
 @HEADS.register_module()
@@ -66,6 +100,9 @@ class StandardRoIHead:
             type='CrossEntropyLoss', use_sigmoid=False, loss_weight=1.0))
         self.loss_bbox_fn = LOSSES.build(bbox_head.get('loss_bbox') or dict(
             type='L1Loss', loss_weight=1.0))
+        # reference SingleRoIExtractor/GenericRoIExtractor cfg: only
+        # the roi size + FPN strides matter here — extraction is the
+        # fused level-routed roi_align in ops/roi_align.py
         ext = dict(bbox_roi_extractor or {})
         self.roi_size = ext.get('roi_layer', {}).get('output_size', 7)
         self.featmap_strides = tuple(ext.get('featmap_strides',
@@ -91,10 +128,13 @@ class StandardRoIHead:
         # stop-gradient head pass (the reference's context._bbox_forward)
         self._hard_mining = type(self.sampler).__name__ in (
             'OHEMSampler', 'ScoreHLRSampler')
+        n_convs, n_fcs = _convfc_shape(bbox_head)
         self.net = Shared2FCBBoxHeadNet(
             num_classes=self.num_classes, roi_size=self.roi_size,
             in_channels=bbox_head.get('in_channels', 256),
             fc_dim=bbox_head.get('fc_out_channels', 1024),
+            num_convs=n_convs, num_fcs=n_fcs,
+            conv_dim=bbox_head.get('conv_out_channels', 256),
             reg_class_agnostic=self.reg_class_agnostic, dtype=dtype)
         # optional mask branch (Mask R-CNN)
         self.mask_head = None
@@ -315,3 +355,156 @@ class StandardRoIHead:
             [f for f in feats[:len(self.featmap_strides)]], dets, labels,
             valid, scale_factor)
         return dets, labels, valid, masks
+
+
+class SABLBBoxHeadNet(nn.Module):
+    """SABL two-stage bbox head (reference roi_heads/bbox_heads/
+    sabl_head.py SABLHead): class branch (2 FCs) + side-aware reg branch
+    (conv, FC) emitting per-side bucket classification logits and in-bucket
+    fine offsets. This compact TPU version keeps the head's two outputs
+    (bucket cls 4*side_num, offsets 4*side_num) with a shared reg trunk
+    instead of the reference's per-axis squeeze convolutions."""
+    num_classes: int
+    side_num: int
+    fc_dim: int = 1024
+    conv_dim: int = 256
+    roi_size: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        r = roi_feats.shape[0]
+        x = roi_feats.reshape(r, -1)
+        c = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             name='cls_fc1')(x))
+        c = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             name='cls_fc2')(c))
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name='fc_cls')(c)
+        g = nn.relu(nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1)] * 2,
+                            dtype=self.dtype, name='reg_conv')(roi_feats))
+        g = g.reshape(r, -1)
+        g = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             name='reg_fc1')(g))
+        bucket_cls = nn.Dense(4 * self.side_num, dtype=self.dtype,
+                              kernel_init=nn.initializers.normal(0.01),
+                              name='fc_reg_cls')(g)
+        bucket_off = nn.Dense(4 * self.side_num, dtype=self.dtype,
+                              kernel_init=nn.initializers.normal(0.001),
+                              name='fc_reg_off')(g)
+        return (cls.astype(jnp.float32),
+                (bucket_cls.astype(jnp.float32),
+                 bucket_off.astype(jnp.float32)))
+
+
+@HEADS.register_module()
+class SABLRoIHead(StandardRoIHead):
+    """StandardRoIHead with the SABL bucketing bbox head (the reference
+    expresses this as bbox_head type='SABLHead' inside StandardRoIHead —
+    sabl_faster_rcnn/sabl_cascade configs)."""
+
+    def __init__(self, bbox_roi_extractor=None, bbox_head=None, **kwargs):
+        bbox_head = dict(bbox_head or {})
+        coder_cfg = dict(bbox_head.get('bbox_coder') or dict(
+            type='BucketingBBoxCoder', num_buckets=14, scale_factor=1.7))
+        super().__init__(bbox_roi_extractor=bbox_roi_extractor,
+                         bbox_head=bbox_head, **kwargs)
+        self.coder = build_coder(coder_cfg)
+        self.loss_bbox_cls_fn = LOSSES.build(
+            bbox_head.get('loss_bbox_cls') or dict(
+                type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0))
+        self.loss_bbox_reg_fn = LOSSES.build(
+            bbox_head.get('loss_bbox_reg') or dict(
+                type='SmoothL1Loss', beta=0.1, loss_weight=1.0))
+        self.net = SABLBBoxHeadNet(
+            num_classes=self.num_classes, side_num=self.coder.side_num,
+            fc_dim=bbox_head.get('fc_out_channels', 1024),
+            conv_dim=bbox_head.get('conv_out_channels', 256),
+            roi_size=self.roi_size)
+
+    def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
+                    gt_valid, rng, extras=None):
+        # parent returns delta targets; SABL needs the raw matched gt box
+        # (bucketing encode happens against the sampled rois in the loss)
+        out = list(super().sample_rois(proposals, prop_valid, gt_bboxes,
+                                       gt_labels, gt_valid, rng, extras))
+        rois, safe = out[0], out[5]
+        out[4] = gt_bboxes[safe]  # matched gt boxes in the 'deltas' slot
+        return tuple(out)
+
+    def forward_train(self, variables, feats, proposals, prop_valid, batch,
+                      rng) -> Dict[str, jnp.ndarray]:
+        b = proposals.shape[0]
+        rngs = jax.random.split(rng, b)
+        (rois, roi_valid, roi_pos, labels, gt_boxes, _,
+         roi_weights) = jax.vmap(self.sample_rois)(
+             proposals, prop_valid, batch['gt_bboxes'],
+             batch['gt_labels'], batch['gt_valid'], rngs, None)
+
+        def extract(img_feats, img_rois, img_valid):
+            return multi_level_roi_align(
+                img_feats, img_rois, img_valid, self.roi_size,
+                self.featmap_strides)
+
+        roi_feats = jax.vmap(extract)(
+            [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
+        cls, (bucket_cls, bucket_off) = self.net.apply(
+            self._bbox_vars(variables),
+            roi_feats.reshape(-1, self.roi_size, self.roi_size,
+                              roi_feats.shape[-1]))
+        labels_f = labels.reshape(-1)
+        validf = roi_valid.reshape(-1).astype(jnp.float32)
+        posf = roi_pos.reshape(-1).astype(jnp.float32)
+        avg = jnp.maximum(validf.sum(), 1.0)
+        loss_cls = self.loss_cls_fn(
+            cls, labels_f, weight=validf * roi_weights.reshape(-1),
+            avg_factor=avg)
+        offs, off_w, lab1h, cls_w = self.coder.encode(
+            rois.reshape(-1, 4), gt_boxes.reshape(-1, 4))
+        n_pos = jnp.maximum(posf.sum(), 1.0)
+        sn = self.coder.side_num
+        # bucket classification: BCE against the one-hot nearest bucket,
+        # near-miss neighbours ignored (cls_w), positives only
+        loss_bucket_cls = self.loss_bbox_cls_fn(
+            bucket_cls, lab1h,
+            weight=cls_w * posf[:, None],
+            avg_factor=n_pos * 4.0 * sn)
+        # in-bucket offsets on the top-k nearest buckets
+        loss_bucket_reg = self.loss_bbox_reg_fn(
+            bucket_off, offs,
+            weight=off_w * posf[:, None],
+            avg_factor=n_pos * 4.0 * self.coder.offset_topk)
+        return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bucket_cls,
+                    loss_bbox_reg=loss_bucket_reg)
+
+    def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
+                    scale_factor=None, rescale=False, cfg=None,
+                    with_masks=None):
+        cfg = cfg or self.test_cfg
+        bbox_vars = self._bbox_vars(variables)
+
+        def per_image(img_feats, img_rois, img_valid, hw, sf):
+            roi_feats = multi_level_roi_align(
+                img_feats, img_rois, img_valid, self.roi_size,
+                self.featmap_strides)
+            cls, (bucket_cls, bucket_off) = self.net.apply(bbox_vars,
+                                                           roi_feats)
+            scores = jax.nn.softmax(cls, axis=-1)[:, :self.num_classes]
+            boxes, conf = self.coder.decode(img_rois,
+                                            (bucket_cls, bucket_off),
+                                            max_shape=hw)
+            # bucketing-guided rescoring (reference sabl_head get_bboxes)
+            scores = scores * conf[:, None] * img_valid[:, None]
+            if rescale and sf is not None:
+                boxes = boxes / sf[None, :]
+            return multiclass_nms(
+                boxes, scores, cfg.get('score_thr', 0.05),
+                cfg.get('nms', {}).get('iou_threshold', 0.5),
+                max_per_img=cfg.get('max_per_img', 100))
+
+        if scale_factor is None:
+            scale_factor = jnp.ones((proposals.shape[0], 4))
+        return jax.vmap(per_image)(
+            [f for f in feats[:len(self.featmap_strides)]], proposals,
+            prop_valid, img_hw, scale_factor)

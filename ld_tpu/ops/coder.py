@@ -211,8 +211,10 @@ class BucketingBBoxCoder:
         p = bbox_rescale(proposals, self.scale_factor)
         pw = p[..., 2] - p[..., 0]
         ph = p[..., 3] - p[..., 1]
-        bw = pw / self.num_buckets
-        bh = ph / self.num_buckets
+        # clamp: zero-size PADDED rois otherwise produce inf offsets whose
+        # 0-weight in the loss still yields 0*inf = NaN
+        bw = jnp.maximum(pw / self.num_buckets, 1e-6)
+        bh = jnp.maximum(ph / self.num_buckets, 1e-6)
         steps = 0.5 + jnp.arange(self.side_num, dtype=jnp.float32)
         l = p[..., 0:1] + steps * bw[..., None]
         r = p[..., 2:3] - steps * bw[..., None]

@@ -84,3 +84,51 @@ def test_sabl_retina_head_train_and_infer():
     assert float(losses['loss_bbox_reg']) > 0
     d, _, _ = det.forward_test(v, batch)
     assert d.shape == (2, 10, 5)
+
+
+def test_sabl_roi_head_faster_rcnn():
+    """SABL two-stage (reference bbox_heads/sabl_head.py SABLHead inside
+    StandardRoIHead, sabl_faster_rcnn configs): bucket cls + in-bucket
+    offset losses finite; decode path produces detections; padded
+    zero-size rois must not NaN the offsets (coder clamps bucket widths)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ld_tpu.models import build_detector
+    cfg = dict(
+        type='FasterRCNN',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=64, num_outs=5),
+        rpn_head=dict(type='RPNHead', in_channels=64, feat_channels=64),
+        roi_head=dict(type='StandardRoIHead',
+                      bbox_roi_extractor=dict(
+                          featmap_strides=[4, 8, 16, 32]),
+                      bbox_head=dict(type='SABLHead', num_classes=4,
+                                     in_channels=64, fc_out_channels=64,
+                                     conv_out_channels=32)),
+        train_cfg=dict(rcnn=dict(sampler=dict(num=32, pos_fraction=0.25))),
+        test_cfg=dict(rpn=dict(nms_pre=64, max_per_img=32),
+                      rcnn=dict(score_thr=0.05,
+                                nms=dict(iou_threshold=0.5),
+                                max_per_img=10)))
+    det = build_detector(cfg)
+    assert type(det.roi_head).__name__ == 'SABLRoIHead'
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0] = [5, 5, 40, 50]
+    valid = np.zeros((1, 4), bool)
+    valid[0, 0] = True
+    batch = dict(
+        image=jnp.asarray(np.random.RandomState(0).randn(1, 64, 96, 3),
+                          jnp.float32),
+        gt_bboxes=jnp.asarray(gt), gt_labels=jnp.zeros((1, 4), jnp.int32),
+        gt_valid=jnp.asarray(valid), img_hw=jnp.asarray([[64., 96.]]))
+    losses = det.forward_train(v, batch)
+    assert {'loss_cls', 'loss_bbox_cls', 'loss_bbox_reg'} <= set(losses)
+    assert all(np.isfinite(float(x)) for x in losses.values()), losses
+    d, l, vv = det.forward_test(v, dict(image=batch['image'],
+                                        img_hw=batch['img_hw'],
+                                        scale_factor=jnp.ones((1, 4))))
+    assert d.shape == (1, 10, 5)
