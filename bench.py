@@ -17,12 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# persistent compile cache: the R50 inference graph takes ~15 min to build
-# on this host's single core; cache makes reruns start in seconds
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      '.jax_cache')
-jax.config.update('jax_compilation_cache_dir', _CACHE)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from ld_tpu.utils.profiling import setup_jax_cache
+setup_jax_cache()
 
 import jax.numpy as jnp
 import numpy as np

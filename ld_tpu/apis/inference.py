@@ -80,22 +80,39 @@ def inference_detector(detector, variables, img: Union[str, np.ndarray],
     return dict(boxes=dets[valid], labels=labels[valid])
 
 
+def _load_img(img):
+    import cv2
+    if isinstance(img, str):
+        loaded = cv2.imread(img)
+        if loaded is None:  # cv2.imread returns None instead of raising
+            raise FileNotFoundError(img)
+        return loaded
+    return img.copy()
+
+
+def _draw_boxes(img, boxes, labels, color, class_names=None, scores=None):
+    import cv2
+    for i, (box, label) in enumerate(zip(boxes, labels)):
+        x1, y1, x2, y2 = np.asarray(box[:4]).astype(int)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+        name = class_names[int(label)] if class_names else str(int(label))
+        if scores is not None:
+            name = f'{name}:{scores[i]:.2f}'
+        cv2.putText(img, name, (x1, max(y1 - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+    return img
+
+
 def show_result(img: Union[str, np.ndarray], result: Dict, class_names=None,
                 score_thr: float = 0.3, out_file: Optional[str] = None):
     """Draw detections. Parity: base.py:270 show_result /
     core/visualization/image.py imshow_det_bboxes."""
     import cv2
-    if isinstance(img, str):
-        img = cv2.imread(img)
-    img = img.copy()
-    for box, label in zip(result['boxes'], result['labels']):
-        if box[4] < score_thr:
-            continue
-        x1, y1, x2, y2 = box[:4].astype(int)
-        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 2)
-        name = class_names[int(label)] if class_names else str(int(label))
-        cv2.putText(img, f'{name}:{box[4]:.2f}', (x1, max(y1 - 4, 0)),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+    img = _load_img(img)
+    keep = np.asarray(result['boxes'])[:, 4] >= score_thr
+    _draw_boxes(img, np.asarray(result['boxes'])[keep],
+                np.asarray(result['labels'])[keep], (0, 255, 0),
+                class_names, scores=np.asarray(result['boxes'])[keep, 4])
     if out_file:
         cv2.imwrite(out_file, img)
     return img
@@ -109,17 +126,9 @@ def imshow_gt_det_bboxes(img, annotation: Dict, result: Dict,
     Parity: /root/reference/mmdet/core/visualization/image.py:189
     (imshow_gt_det_bboxes, used by analyze_results/browse_dataset).
     """
-    import cv2
-    if isinstance(img, str):
-        img = cv2.imread(img)
-    img = img.copy()
-    for box, label in zip(annotation.get('bboxes', []),
-                          annotation.get('labels', [])):
-        x1, y1, x2, y2 = np.asarray(box[:4]).astype(int)
-        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 144, 30), 2)
-        name = class_names[int(label)] if class_names else str(int(label))
-        cv2.putText(img, name, (x1, max(y1 - 4, 0)),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 144, 30), 1)
+    img = _load_img(img)
+    _draw_boxes(img, annotation.get('bboxes', []),
+                annotation.get('labels', []), (255, 144, 30), class_names)
     return show_result(img, result, class_names=class_names,
                        score_thr=score_thr, out_file=out_file)
 

@@ -184,6 +184,7 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     ckpt_cfg = cfg.get('checkpoint_config', {}) or {}
     last_saved_step = -1
     stop = False
+    diverged = False
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
         batch_iter = iter(loader)
@@ -214,6 +215,14 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                     json_log.write(json.dumps(
                         dict(mode='train', iter=global_step,
                              error='non-finite loss')) + '\n')
+                    # forensic dump under a separate name: the orbax
+                    # checkpoint chain must keep the last GOOD weights as
+                    # its latest step (resume_from must not pick NaN state)
+                    save_variables(
+                        os.path.join(work_dir, 'diverged_state.npz'),
+                        {'params': state.params,
+                         'batch_stats': state.batch_stats})
+                    diverged = True
                     stop = True
                     break
                 dt = (time.perf_counter() - t_last) / log_interval
@@ -288,9 +297,11 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                 logger.warning(f'eval skipped: {e}')
         if stop:
             break
-    if last_saved_step != global_step:
+    if last_saved_step != global_step and not diverged:
         # final-weights guarantee: a max_steps exit or a non-multiple
         # checkpoint interval must still leave the latest state on disk
+        # (skipped after divergence — NaN weights must never become the
+        # latest resumable checkpoint)
         save_checkpoint(work_dir, state,
                         keep=ckpt_cfg.get('max_keep_ckpts', 3))
     json_log.close()

@@ -59,7 +59,13 @@ class TwoStageDetector:
         # reference sabl configs express SABL as bbox_head type='SABLHead'
         # inside StandardRoIHead — route to the bucketing roi head
         bh = roi_cfg.get('bbox_head') or {}
-        if not isinstance(bh, list) and bh.get('type') == 'SABLHead' and \
+        if isinstance(bh, list):
+            if any((h or {}).get('type') == 'SABLHead' for h in bh):
+                raise NotImplementedError(
+                    'SABLHead inside CascadeRoIHead (sabl_cascade configs) '
+                    'is not implemented — use sabl_faster_rcnn (SABLHead in '
+                    'StandardRoIHead) or plain cascade heads')
+        elif bh.get('type') == 'SABLHead' and \
                 roi_cfg.get('type') == 'StandardRoIHead':
             roi_cfg['type'] = 'SABLRoIHead'
         self.roi_head = HEADS.build(roi_cfg)

@@ -187,11 +187,17 @@ class StandardRoIHead:
         roi_pos = pos_sel[order]
         safe = jnp.clip(res.assigned_gt_inds, 0)[order]
         labels = jnp.where(roi_pos, res.labels[order], self.num_classes)
-        deltas = self.coder.encode(rois, gt_bboxes[safe])
+        deltas = self._encode_roi_targets(rois, gt_bboxes[safe])
         w_full = jnp.ones_like(raw_iou) if neg_w is None else \
             jnp.where(pos_sel, 1.0, neg_w)
         return (rois, roi_valid, roi_pos, labels, deltas, safe,
                 w_full[order])
+
+    def _encode_roi_targets(self, rois, matched_gt):
+        """Regression targets for sampled rois; SABL overrides to defer
+        its (4-tuple) bucketing encode to the loss, avoiding a wasted
+        per-roi encode here."""
+        return self.coder.encode(rois, matched_gt)
 
     def _bbox_vars(self, variables):
         p = variables['params']
@@ -410,6 +416,14 @@ class SABLRoIHead(StandardRoIHead):
             type='BucketingBBoxCoder', num_buckets=14, scale_factor=1.7))
         super().__init__(bbox_roi_extractor=bbox_roi_extractor,
                          bbox_head=bbox_head, **kwargs)
+        if self.mask_head is not None:
+            raise NotImplementedError(
+                'SABLRoIHead has no mask branch — drop mask_head or use '
+                'StandardRoIHead')
+        if self._hard_mining:
+            raise NotImplementedError(
+                'OHEM/ScoreHLR hard mining is not wired into SABLRoIHead '
+                '— use RandomSampler')
         self.coder = build_coder(coder_cfg)
         self.loss_bbox_cls_fn = LOSSES.build(
             bbox_head.get('loss_bbox_cls') or dict(
@@ -423,15 +437,10 @@ class SABLRoIHead(StandardRoIHead):
             conv_dim=bbox_head.get('conv_out_channels', 256),
             roi_size=self.roi_size)
 
-    def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
-                    gt_valid, rng, extras=None):
-        # parent returns delta targets; SABL needs the raw matched gt box
-        # (bucketing encode happens against the sampled rois in the loss)
-        out = list(super().sample_rois(proposals, prop_valid, gt_bboxes,
-                                       gt_labels, gt_valid, rng, extras))
-        rois, safe = out[0], out[5]
-        out[4] = gt_bboxes[safe]  # matched gt boxes in the 'deltas' slot
-        return tuple(out)
+    def _encode_roi_targets(self, rois, matched_gt):
+        # bucketing encode happens in forward_train against the full roi
+        # batch; the sampler carries the matched gt box through instead
+        return matched_gt
 
     def forward_train(self, variables, feats, proposals, prop_valid, batch,
                       rng) -> Dict[str, jnp.ndarray]:

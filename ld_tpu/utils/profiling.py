@@ -64,3 +64,19 @@ def collect_env() -> dict:
     except ImportError:
         pass
     return info
+
+
+def setup_jax_cache(root=None, min_compile_secs=1.0):
+    """Point jax's persistent compilation cache at <repo>/.jax_cache.
+
+    Shared by bench.py and the analysis tools — big inference/train graphs
+    take minutes to build on this host, the cache makes reruns start in
+    seconds."""
+    import os
+    import jax
+    if root is None:
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', os.path.abspath(root))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      min_compile_secs)

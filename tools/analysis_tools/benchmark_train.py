@@ -41,10 +41,8 @@ def main():
                     help='disable the default bf16 backbone/neck compute')
     args = ap.parse_args()
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         '..', '..', '.jax_cache')
-    jax.config.update('jax_compilation_cache_dir', os.path.abspath(cache))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from ld_tpu.utils.profiling import setup_jax_cache
+    setup_jax_cache()
 
     import optax
     from ld_tpu import Config

@@ -21,10 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      '..', '..', '.jax_cache')
-jax.config.update('jax_compilation_cache_dir', os.path.abspath(_CACHE))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from ld_tpu.utils.profiling import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()
 
 import numpy as np
 
