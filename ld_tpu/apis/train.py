@@ -137,7 +137,8 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
 
     step_fn = jit_train_step(make_train_step(detector, optimizer,
                                              has_teacher=has_teacher,
-                                             remat=bool(cfg.get('remat'))),
+                                             remat=bool(cfg.get('remat')),
+                                             seed=int(cfg.get('seed') or 0)),
                              mesh, has_teacher=has_teacher)
 
     log_interval = log_interval or cfg.get('log_config', {}).get(

@@ -208,10 +208,19 @@ class Normalize:
         self.to_rgb = to_rgb
 
     def __call__(self, results: Dict) -> Dict:
-        img = results['img'].astype(np.float32)
+        # bit-parity with mmcv.imnormalize_ (used by the reference Normalize,
+        # mmdet/datasets/pipelines/transforms.py:547): BGR->RGB via cv2, then
+        # cv2.subtract(float64 mean) and cv2.multiply(float64 1/std) on the
+        # float32 image — NOT numpy float32 (img-mean)/std, whose last-ulp
+        # rounding differs from cv2's widened arithmetic
+        img = np.ascontiguousarray(results['img'], np.float32)
+        mean = np.float64(self.mean.reshape(1, -1))
+        stdinv = 1.0 / np.float64(self.std.reshape(1, -1))
         if self.to_rgb:
-            img = img[..., ::-1]
-        results['img'] = (img - self.mean) / self.std
+            cv2.cvtColor(img, cv2.COLOR_BGR2RGB, img)
+        cv2.subtract(img, mean, img)
+        cv2.multiply(img, stdinv, img)
+        results['img'] = img
         results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
                                        to_rgb=self.to_rgb)
         return results

@@ -68,9 +68,17 @@ class SingleStageDetector:
             # RetinaSepBNHead) write momentum-updated running stats; the
             # traced collection is stashed for make_train_step to thread
             # into the next TrainState (frozen BN passes through unchanged)
-            outs, mut = self.net.apply(variables, images, train=True,
-                                       output_features=output_features,
-                                       mutable=['batch_stats'])
+            def fwd(variables, images):
+                return self.net.apply(variables, images, train=True,
+                                      output_features=output_features,
+                                      mutable=['batch_stats'])
+            if getattr(self, '_remat', False):
+                # remat scoped to the student forward only: the deep conv
+                # tower activations are recomputed during backward, while
+                # the teacher forward (train=False path) and loss math are
+                # saved as usual (make_train_step remat docstring)
+                fwd = jax.checkpoint(fwd)
+            outs, mut = fwd(variables, images)
             self._last_batch_stats = mut.get('batch_stats', {})
             return outs
         return self.net.apply(variables, images, train=False,

@@ -115,8 +115,13 @@ class TwoStageDetector:
         if train:
             # live-BN support (norm_eval=False): see single_stage.py apply —
             # stats stashed for make_train_step to thread into TrainState
-            (feats, rpn_outs), mut = self.net.apply(
-                main, images, train=True, mutable=['batch_stats'])
+            def fwd(main, images):
+                return self.net.apply(main, images, train=True,
+                                      mutable=['batch_stats'])
+            if getattr(self, '_remat', False):
+                # student-forward-scoped remat (see single_stage.py apply)
+                fwd = jax.checkpoint(fwd)
+            (feats, rpn_outs), mut = fwd(main, images)
             self._last_batch_stats = mut.get('batch_stats', {})
         else:
             feats, rpn_outs = self.net.apply(main, images, train=False)

@@ -127,9 +127,8 @@ class ATSSGFLHead(GFLHead):
         anchors = t['anchors']
         strides = t['strides']
 
-        num_pos_img = posf.sum(axis=1)
-        num_total_samples = jnp.maximum(
-            jnp.maximum(num_pos_img, 1.0).sum(), 1.0)
+        # batch-total clamp (reference reduce_mean(num_total_pos).clamp(min=1))
+        num_total_samples = jnp.maximum(posf.sum(), 1.0)
 
         loss_cls = self.loss_cls(cls_flat, labels, weight=label_weights,
                                  avg_factor=num_total_samples)

@@ -224,11 +224,12 @@ class GFLHead:
         posf = pos.astype(jnp.float32)
         label_weights = anchor_valid.astype(jnp.float32)
 
-        # per-image max(num_pos, 1), summed globally (== reference's
-        # reduce_mean'd num_total_samples x world_size)
-        num_pos_img = posf.sum(axis=1)
-        num_total_samples = jnp.maximum(
-            jnp.maximum(num_pos_img, 1.0).sum(), 1.0)
+        # batch-total positive count, clamped ONCE — parity with the
+        # reference's reduce_mean(num_total_pos).clamp(min=1)
+        # (/root/reference/mmdet/models/dense_heads/gfl_head.py:330).
+        # Per-image clamping would inflate the denominator whenever a batch
+        # contains an empty-GT image (filter_empty_gt=False, heavy crops).
+        num_total_samples = jnp.maximum(posf.sum(), 1.0)
 
         centers = anchor_center(anchors)[None] / strides[None, :, None]
         pred_corners = bbox_pred.reshape(*bbox_pred.shape[:-1], 4,

@@ -132,8 +132,8 @@ class RetinaGFLHead(GFLHead):
         anchors = t['anchors']
         strides = t['strides']
 
-        num_total_samples = jnp.maximum(
-            jnp.maximum(posf.sum(axis=1), 1.0).sum(), 1.0)
+        # batch-total clamp (reference reduce_mean(num_total_pos).clamp(min=1))
+        num_total_samples = jnp.maximum(posf.sum(), 1.0)
         loss_cls = self.loss_cls(cls_flat, labels, weight=label_weights,
                                  avg_factor=num_total_samples)
 

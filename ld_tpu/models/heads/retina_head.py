@@ -92,8 +92,8 @@ class RetinaHead(RetinaGFLHead):
         labels = t['labels']
         posf = t['pos_mask'].astype(jnp.float32)
         label_weights = t['anchor_valid'].astype(jnp.float32)
-        num_total = jnp.maximum(jnp.maximum(posf.sum(axis=1), 1.0).sum(),
-                                1.0)
+        # batch-total clamp (reference AnchorHead num_total_pos semantics)
+        num_total = jnp.maximum(posf.sum(), 1.0)
         loss_cls = self.loss_cls(cls_flat.astype(jnp.float32), labels,
                                  weight=label_weights,
                                  avg_factor=num_total)

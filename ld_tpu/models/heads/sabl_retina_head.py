@@ -151,7 +151,8 @@ class SABLRetinaHead:
         breg_flat = flatten_levels_anchors(bbox_reg_preds, self.side_num * 4)
 
         posf = pos.astype(jnp.float32)
-        n_total = jnp.maximum(jnp.maximum(posf.sum(1), 1.0).sum(), 1.0)
+        # batch-total clamp (reference sabl_retina_head num_total_pos)
+        n_total = jnp.maximum(posf.sum(), 1.0)
         loss_cls = self.loss_cls(
             cls_flat.astype(jnp.float32), labels,
             weight=valid.astype(jnp.float32), avg_factor=n_total)

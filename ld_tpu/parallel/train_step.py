@@ -41,20 +41,31 @@ def create_train_state(detector, rng, optimizer,
 
 
 def make_train_step(detector, optimizer, has_teacher: bool = False,
-                    remat: bool = False):
+                    remat: bool = False, seed: int = 0):
     """Build the pure train-step function (to be jitted/pjitted by caller).
 
-    remat=True rematerializes the forward pass during backward
-    (jax.checkpoint): activation memory drops from O(depth) to O(1) at
-    ~1/3 extra forward FLOPs — the knob that lets the global batch grow
-    past HBM on deep students (the functional equivalent of torch
-    activation checkpointing, which the reference never ships)."""
+    remat=True rematerializes the STUDENT forward (backbone/neck/head
+    towers) during backward via jax.checkpoint scoped inside the detector's
+    train-mode apply: activation memory for the deep conv stack drops to
+    O(1) at ~1/3 extra student-forward FLOPs. The teacher forward
+    (gradient-free, stop_gradient) and the loss math are never
+    rematerialized — checkpointing the whole loss_fn instead re-ran the
+    teacher too and measured 2.35x step time (docs/PERF.md).
+
+    seed drives the per-step RNG (ROI sampling etc.): key =
+    fold_in(PRNGKey(seed), step) — the reference threads its global seed
+    through every sampler the same way (mmdet/apis/train.py:18)."""
     import inspect
     takes_rng = 'rng' in inspect.signature(
         detector.forward_train).parameters
-
     def train_step(state: TrainState, batch: Dict,
                    teacher_variables: Optional[Dict] = None):
+        # scope the remat policy at the detector's student forward (see
+        # SingleStageDetector.apply / TwoStageDetector.extract); set at
+        # trace time so several step fns built from one detector object
+        # each trace with their own policy
+        detector._remat = bool(remat)
+
         def loss_fn(params):
             detector._last_batch_stats = None  # cleared pre-call: a stale
             # stash from an earlier trace must never leak into this one
@@ -64,7 +75,7 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
             if takes_rng:
                 # per-step rng so ROI sampling varies across iterations
                 kwargs['rng'] = jax.random.fold_in(
-                    jax.random.PRNGKey(17), state.step)
+                    jax.random.PRNGKey(seed), state.step)
             if has_teacher:
                 losses = detector.forward_train(
                     variables, batch, teacher_variables=teacher_variables,
@@ -81,8 +92,6 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
             new_stats = getattr(detector, '_last_batch_stats', None)
             return total, (losses, new_stats)
 
-        if remat:
-            loss_fn = jax.checkpoint(loss_fn)
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -1,7 +1,8 @@
 """Integration golden test: GFLHead.loss vs an independent torch
 re-computation of the reference's loss pipeline (gfl_head.py:196-352
 semantics: per-positive gathers, avg_factor = sum of max-sigmoid weights,
-num_total_samples = per-image max(pos,1) summed) on identical inputs.
+num_total_samples = batch-total positives clamped once at 1 — the
+reference's reduce_mean(num_total_pos).clamp(min=1)) on identical inputs.
 
 This guards the normalization semantics end-to-end — the place SURVEY §7
 flags as 'silently wrong scaling costs AP'.
@@ -176,3 +177,36 @@ def test_gfl_loss_matches_torch_reference_pipeline():
     assert abs(float(got['loss_dfl']) - want_dfl) / max(want_dfl,
                                                         1e-6) < 1e-3, (
         float(got['loss_dfl']), want_dfl)
+
+
+def test_empty_gt_image_does_not_inflate_denominator():
+    """Regression for the batch-total pos-count clamp: the reference clamps
+    the BATCH total once (reduce_mean(num_total_pos).clamp(min=1),
+    /root/reference/mmdet/models/dense_heads/gfl_head.py:330); a per-image
+    max(pos,1) would add +1 per empty-GT image (filter_empty_gt=False, VOC
+    difficult-only images, heavy crops)."""
+    det = build_detector(_cfg())
+    head = det.bbox_head
+    featmap_sizes = [(8, 12), (4, 6), (2, 3), (1, 2), (1, 1)]
+
+    gt = np.zeros((2, 4, 4), np.float32)
+    gt[0, 0] = [4, 4, 40, 48]
+    gt[0, 1] = [16, 12, 56, 60]
+    gv = np.zeros((2, 4), bool)
+    gv[0, :2] = True          # image 1 has every GT invalid (empty image)
+    gl = np.zeros((2, 4), np.int32)
+    hw = np.tile([[64., 96.]], (2, 1)).astype(np.float32)
+
+    t = head.build_targets(featmap_sizes, jnp.asarray(gt), jnp.asarray(gl),
+                           jnp.asarray(gv), jnp.asarray(hw))
+    n_anchors = int(t['labels'].shape[1])
+    rs = np.random.RandomState(0)
+    cls_flat = jnp.asarray(rs.randn(2, n_anchors, 4).astype(np.float32))
+    pred_flat = jnp.asarray(rs.randn(2, n_anchors, 68).astype(np.float32))
+    core = head._core_losses(cls_flat, pred_flat, t)
+
+    n_pos = float(np.asarray(t['pos_mask']).sum())
+    assert n_pos > 0
+    # denominator == total positives, NOT total + 1 for the empty image
+    assert abs(float(core['num_total_samples']) - n_pos) < 1e-6, (
+        float(core['num_total_samples']), n_pos)

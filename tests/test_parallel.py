@@ -263,3 +263,26 @@ def test_live_bn_stats_update_with_frozen_stage_eval():
     assert any(not np.allclose(a, b) for a, b in zip(
         jtu.tree_leaves(after['head_net']),
         jtu.tree_leaves(before['head_net'])))
+
+
+def test_train_step_seed_threads_into_roi_sampling():
+    """cfg.seed must drive the per-step RNG (reference threads its global
+    seed through every sampler, mmdet/apis/train.py:18): different seeds
+    change ROI sampling noise; the same seed reproduces it exactly."""
+    import optax
+    from tests.test_two_stage import cfg as ts_cfg, batch as ts_batch
+
+    det = build_detector(dict(ts_cfg))
+    mesh = create_mesh(('data', ), devices=jax.devices()[:1])
+    opt = optax.sgd(0.01, momentum=0.9)
+
+    def one_step(seed):
+        state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                                   (1, 64, 96, 3))
+        step = jit_train_step(make_train_step(det, opt, seed=seed), mesh)
+        _, metrics = step(state, shard_batch(dict(ts_batch), mesh))
+        return float(metrics['loss'])
+
+    l0a, l0b, l1 = one_step(0), one_step(0), one_step(1)
+    assert l0a == l0b
+    assert l0a != l1, (l0a, l1)
