@@ -44,10 +44,17 @@ class BatchNorm(nn.Module):
             name='bn')(x)
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
-                   name=name, dtype=dtype)
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          conv_cfg=None):
+    from ld_tpu.models.layers import make_conv
+    return make_conv(conv_cfg, features, kernel, stride, use_bias=False,
+                     name=name, dtype=dtype)
+
+
+def _norm(norm_cfg, norm_eval, name, dtype):
+    from ld_tpu.models.layers import make_norm
+    return make_norm(norm_cfg, use_running_average=norm_eval, name=name,
+                     dtype=dtype)
 
 
 class BasicBlock(nn.Module):
@@ -56,33 +63,36 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     norm_eval: bool = True
     avg_down: bool = False
+    conv_cfg: dict = None
+    norm_cfg: dict = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = _conv(self.filters, 3, self.stride, 'conv1', self.dtype)(x)
-        out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
-                        dtype=self.dtype)(out, train)
+        out = _conv(self.filters, 3, self.stride, 'conv1', self.dtype,
+                    self.conv_cfg)(x)
+        out = _norm(self.norm_cfg, self.norm_eval, 'norm1',
+                    self.dtype)(out, train)
         out = nn.relu(out)
-        out = _conv(self.filters, 3, 1, 'conv2', self.dtype)(out)
-        out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
-                        dtype=self.dtype)(out, train)
+        out = _conv(self.filters, 3, 1, 'conv2', self.dtype,
+                    self.conv_cfg)(out)
+        out = _norm(self.norm_cfg, self.norm_eval, 'norm2',
+                    self.dtype)(out, train)
         if self.downsample:
             identity = _shortcut(x, self.filters, self.stride,
                                  self.avg_down, self.norm_eval, self.dtype,
-                                 train)
+                                 train, self.conv_cfg, self.norm_cfg)
         return nn.relu(out + identity)
 
 
-def _shortcut(x, features, stride, avg_down, norm_eval, dtype, train):
+def _shortcut(x, features, stride, avg_down, norm_eval, dtype, train,
+              conv_cfg=None, norm_cfg=None):
     if avg_down and stride > 1:
         x = nn.avg_pool(x, (stride, stride), strides=(stride, stride))
         stride = 1
-    x = nn.Conv(features, (1, 1), strides=(stride, stride), use_bias=False,
-                name='downsample_conv', dtype=dtype)(x)
-    return BatchNorm(use_running_average=norm_eval, name='downsample_norm',
-                     dtype=dtype)(x, train)
+    x = _conv(features, 1, stride, 'downsample_conv', dtype, conv_cfg)(x)
+    return _norm(norm_cfg, norm_eval, 'downsample_norm', dtype)(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -98,8 +108,22 @@ class Bottleneck(nn.Module):
     with_sac: bool = False   # Switchable Atrous Conv (DetectoRS)
     dcn_deform_groups: int = 1
     style: str = 'pytorch'   # 'caffe': spatial stride on conv1, not conv2
+    conv_cfg: dict = None
+    norm_cfg: dict = None
+    # stage plugins active in this block: tuple of plugin cfg dicts, each
+    # with a 'position' in after_conv1/2/3 (reference resnet.py:109-118)
+    plugins: tuple = ()
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+
+    def _apply_plugins(self, out, position):
+        from ld_tpu.models.backbones.plugins import build_plugin, _snake
+        for i, p in enumerate(self.plugins or ()):
+            if p['position'] == position:
+                t = p['cfg']['type']
+                name = _snake(t) + (f'_{i}' if i else '')
+                out = build_plugin(p['cfg'], name=name)(out)
+        return out
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,11 +136,11 @@ class Bottleneck(nn.Module):
         # Detectron-lineage weights (fcos_gfl caffe teachers) need the latter
         s1 = self.stride if self.style == 'caffe' else 1
         s2 = 1 if self.style == 'caffe' else self.stride
-        out = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
-                      name='conv1', dtype=self.dtype)(x)
-        out = BatchNorm(use_running_average=self.norm_eval, name='norm1',
-                        dtype=self.dtype)(out, train)
+        out = _conv(width, 1, s1, 'conv1', self.dtype, self.conv_cfg)(x)
+        out = _norm(self.norm_cfg, self.norm_eval, 'norm1',
+                    self.dtype)(out, train)
         out = nn.relu(out)
+        out = self._apply_plugins(out, 'after_conv1')
         if self.with_sac:
             out = SAConv(width, stride=s2, dtype=self.dtype,
                          name='conv2')(out)
@@ -128,23 +152,25 @@ class Bottleneck(nn.Module):
                 deform_groups=self.dcn_deform_groups,
                 dtype=self.dtype, name='conv2')(out)
         else:
-            out = nn.Conv(width, (3, 3),
-                          strides=(s2, s2),
-                          padding=[(self.dilation, self.dilation)] * 2,
-                          kernel_dilation=(self.dilation, self.dilation),
-                          feature_group_count=self.groups,
-                          use_bias=False, name='conv2', dtype=self.dtype)(out)
-        out = BatchNorm(use_running_average=self.norm_eval, name='norm2',
-                        dtype=self.dtype)(out, train)
+            from ld_tpu.models.layers import make_conv
+            out = make_conv(self.conv_cfg, width, 3, s2,
+                            padding=self.dilation, dilation=self.dilation,
+                            groups=self.groups, use_bias=False,
+                            name='conv2', dtype=self.dtype)(out)
+        out = _norm(self.norm_cfg, self.norm_eval, 'norm2',
+                    self.dtype)(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
-                      name='conv3', dtype=self.dtype)(out)
-        out = BatchNorm(use_running_average=self.norm_eval, name='norm3',
-                        dtype=self.dtype)(out, train)
+        out = self._apply_plugins(out, 'after_conv2')
+        out = _conv(self.filters * self.expansion, 1, 1, 'conv3',
+                    self.dtype, self.conv_cfg)(out)
+        out = _norm(self.norm_cfg, self.norm_eval, 'norm3',
+                    self.dtype)(out, train)
+        out = self._apply_plugins(out, 'after_conv3')
         if self.downsample:
             identity = _shortcut(x, self.filters * self.expansion,
                                  self.stride, self.avg_down, self.norm_eval,
-                                 self.dtype, train)
+                                 self.dtype, train, self.conv_cfg,
+                                 self.norm_cfg)
         return nn.relu(out + identity)
 
 
@@ -167,7 +193,9 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     frozen_stages: int = -1
     norm_eval: bool = True
-    norm_cfg: dict = None       # accepted for config parity; BN is built-in
+    norm_cfg: dict = None       # dict(type='BN'|'SyncBN'|'GN', ...)
+    conv_cfg: dict = None       # dict(type='ConvWS') for gn+ws recipes
+    plugins: tuple = None       # stage plugins (gcnet/empirical_attention)
     style: str = 'pytorch'
     deep_stem: bool = False
     avg_down: bool = False
@@ -185,19 +213,18 @@ class ResNet(nn.Module):
         stage_blocks = stage_blocks[:self.num_stages]
 
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        stem_eval = self.norm_eval or self.frozen_stages >= 0
         if self.deep_stem:
             for i, s in enumerate((2, 1, 1)):
                 x = _conv(32 if i < 2 else 64, 3, s, f'stem_conv{i+1}',
-                          self.dtype)(x)
-                x = BatchNorm(use_running_average=self.norm_eval or self.frozen_stages >= 0,
-                              name=f'stem_norm{i+1}', dtype=self.dtype)(
-                                  x, train)
+                          self.dtype, self.conv_cfg)(x)
+                x = _norm(self.norm_cfg, stem_eval,
+                          f'stem_norm{i+1}', self.dtype)(x, train)
                 x = nn.relu(x)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                        use_bias=False, name='conv1', dtype=self.dtype)(x)
-            x = BatchNorm(use_running_average=self.norm_eval or self.frozen_stages >= 0, name='norm1',
-                          dtype=self.dtype)(x, train)
+            x = _conv(64, 7, 2, 'conv1', self.dtype, self.conv_cfg)(x)
+            x = _norm(self.norm_cfg, stem_eval, 'norm1',
+                      self.dtype)(x, train)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 0:
@@ -222,12 +249,20 @@ class ResNet(nn.Module):
                               norm_eval=self.norm_eval or stage_frozen,
                               dtype=self.dtype,
                               avg_down=self.avg_down,
+                              conv_cfg=self.conv_cfg,
+                              norm_cfg=self.norm_cfg,
                               name=f'layer{stage+1}_{b}')
                 if block_cls is Bottleneck:
                     kwargs['dilation'] = dilation
                     kwargs['groups'] = self.groups
                     kwargs['base_width'] = self.base_width
                     kwargs['style'] = self.style
+                    if self.plugins:
+                        # per-stage gating (reference `stages` tuple; a
+                        # missing key means all stages, like the reference)
+                        kwargs['plugins'] = tuple(
+                            p for p in self.plugins
+                            if p.get('stages', (True, ) * 4)[stage])
                     if self.dcn is not None and \
                             self.stage_with_dcn[stage]:
                         kwargs['with_dcn'] = True

@@ -34,7 +34,8 @@ class CascadeRoIHead(StandardRoIHead):
 
     def __init__(self, num_stages=3, stage_loss_weights=DEFAULT_STAGE_WEIGHTS,
                  bbox_roi_extractor=None, bbox_head=None, train_cfg=None,
-                 test_cfg=None, dtype=None, **kwargs):
+                 test_cfg=None, mask_roi_extractor=None, mask_head=None,
+                 dtype=None, **kwargs):
         import jax.numpy as _jnp
         dtype = dtype or _jnp.float32
         # per-stage train cfgs may come as a list (mmdet style)
@@ -44,6 +45,9 @@ class CascadeRoIHead(StandardRoIHead):
             else [bbox_head] * num_stages
         super().__init__(bbox_roi_extractor=bbox_roi_extractor,
                          bbox_head=bbox_heads[0],
+                         mask_roi_extractor=mask_roi_extractor,
+                         mask_head=(mask_head[0] if isinstance(
+                             mask_head, list) else mask_head),
                          train_cfg=self._stage_train_cfgs[0],
                          test_cfg=test_cfg, dtype=dtype)
         self.num_stages = num_stages
@@ -73,6 +77,23 @@ class CascadeRoIHead(StandardRoIHead):
                 conv_dim=bh.get('conv_out_channels', 256),
                 reg_class_agnostic=True, dtype=dtype))
         self.net = self.nets[0]
+        # Cascade Mask R-CNN: one mask head per stage (the reference
+        # replicates a single mask_head cfg across stages,
+        # cascade_roi_head.py init_mask_head); trained on each stage's
+        # positive rois, test-time masks averaged over stages.
+        self.mask_heads = None
+        if self.mask_head is not None:
+            from .mask_head import FCNMaskHead
+            mh_cfgs = mask_head if isinstance(mask_head, list) \
+                else [mask_head] * num_stages
+            self.mask_heads = []
+            for mh in mh_cfgs:
+                mh = dict(mh)
+                mh.pop('type', None)
+                mh.setdefault('num_classes', self.num_classes)
+                mh.setdefault('roi_size', self.mask_roi_size)
+                self.mask_heads.append(FCNMaskHead(dtype=dtype, **mh))
+            self.mask_head = self.mask_heads[0]
 
     # ---- variables ------------------------------------------------------------
     def init_all_variables(self, rng, in_channels=256):
@@ -82,6 +103,13 @@ class CascadeRoIHead(StandardRoIHead):
             v = net.init(r, jnp.zeros((1, self.roi_size, self.roi_size,
                                        in_channels)))
             params[f'stage{i}'] = v['params']
+        if self.mask_heads is not None:
+            for i, mh in enumerate(self.mask_heads):
+                r = jax.random.fold_in(rng, 100 + i)
+                v = mh.net.init(r, jnp.zeros(
+                    (1, self.mask_roi_size, self.mask_roi_size,
+                     in_channels)))
+                params[f'mask{i}'] = v['params']
         return params
 
     def _stage_vars(self, variables, i):
@@ -127,6 +155,25 @@ class CascadeRoIHead(StandardRoIHead):
                 reg, deltas.reshape(-1, 4),
                 weight=jnp.repeat(posf[:, None], 4, 1),
                 avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
+            if self.mask_heads is not None and 'gt_masks' in batch:
+                mvars = {'params': variables['params'][f'mask{i}']}
+
+                def mask_extract(img_feats, img_rois, img_valid):
+                    return multi_level_roi_align(
+                        img_feats, img_rois, img_valid, self.mask_roi_size,
+                        self.featmap_strides)
+
+                mfeats = jax.vmap(mask_extract)(
+                    [f for f in feats[:len(self.featmap_strides)]], rois,
+                    roi_valid & roi_pos)
+
+                def one_img(mf, r, rp, rl, rgi, gm):
+                    return self.mask_heads[i].loss(mvars, mf, r, rp, rl,
+                                                   rgi, gm)
+
+                losses[f'loss_mask_s{i}'] = w * jax.vmap(one_img)(
+                    mfeats, rois, roi_pos, labels, roi_gt_inds,
+                    batch['gt_masks']).mean()
             # refine rois for the next stage
             b = rois.shape[0]
             refined = self.coders[i].decode(
@@ -166,6 +213,29 @@ class CascadeRoIHead(StandardRoIHead):
 
         if scale_factor is None:
             scale_factor = jnp.ones((proposals.shape[0], 4))
-        return jax.vmap(per_image)(
+        dets, labels, valid = jax.vmap(per_image)(
             [f for f in feats[:len(self.featmap_strides)]], proposals,
             prop_valid, img_hw, scale_factor)
+        if with_masks is None:
+            with_masks = self.mask_heads is not None
+        if not with_masks or self.mask_heads is None:
+            return dets, labels, valid
+
+        def per_image_masks(img_feats, img_dets, img_labels, img_valid, sf):
+            boxes = img_dets[:, :4]
+            if rescale:
+                boxes = boxes * sf[None, :]
+            roi_feats = multi_level_roi_align(
+                img_feats, boxes, img_valid, self.mask_roi_size,
+                self.featmap_strides)
+            # average the per-stage mask heads (reference aug_masks mean)
+            preds = [mh.predict({'params':
+                                 variables['params'][f'mask{i}']},
+                                roi_feats, img_labels)
+                     for i, mh in enumerate(self.mask_heads)]
+            return sum(preds) / len(preds)
+
+        masks = jax.vmap(per_image_masks)(
+            [f for f in feats[:len(self.featmap_strides)]], dets, labels,
+            valid, scale_factor)
+        return dets, labels, valid, masks

@@ -40,16 +40,25 @@ class Shared2FCBBoxHeadNet(nn.Module):
     num_convs: int = 0
     num_fcs: int = 2
     conv_dim: int = 256
+    conv_cfg: dict = None    # dict(type='ConvWS') for the gn+ws recipe
+    norm_cfg: dict = None    # dict(type='GN', num_groups=32)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats (R, 7, 7, C) -> cls (R, num_classes+1), reg (R, 4[*C])."""
+        from ld_tpu.models.layers import make_conv, make_norm
         x = roi_feats
+        has_norm = self.norm_cfg is not None
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.conv_dim, (3, 3),
-                                padding=[(1, 1)] * 2, dtype=self.dtype,
-                                name=f'conv{i+1}')(x))
+            x = make_conv(self.conv_cfg, self.conv_dim, 3, 1,
+                          use_bias=not has_norm, dtype=self.dtype,
+                          name=f'conv{i+1}')(x)
+            if has_norm:
+                x = make_norm(self.norm_cfg, use_running_average=False,
+                              name=f'conv{i+1}_norm',
+                              dtype=self.dtype)(x, False)
+            x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fcs):
             x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
@@ -135,6 +144,8 @@ class StandardRoIHead:
             fc_dim=bbox_head.get('fc_out_channels', 1024),
             num_convs=n_convs, num_fcs=n_fcs,
             conv_dim=bbox_head.get('conv_out_channels', 256),
+            conv_cfg=bbox_head.get('conv_cfg'),
+            norm_cfg=bbox_head.get('norm_cfg'),
             reg_class_agnostic=self.reg_class_agnostic, dtype=dtype)
         # optional mask branch (Mask R-CNN)
         self.mask_head = None

@@ -44,12 +44,27 @@ class FPN(nn.Module):
     extra_convs_on_inputs: bool = True   # legacy bool form (mmdet <=2.10)
     relu_before_extra_convs: bool = False
     no_norm_on_lateral: bool = False
+    conv_cfg: dict = None                # dict(type='ConvWS') for gn+ws
+    norm_cfg: dict = None                # e.g. dict(type='GN', num_groups=32)
     dtype: jnp.dtype = jnp.float32
 
     def _extra_convs_mode(self):
         if self.add_extra_convs is True:
             return 'on_input' if self.extra_convs_on_inputs else 'on_output'
         return self.add_extra_convs or None
+
+    def _cn(self, features, kernel, stride, name, x, train,
+            with_norm=True):
+        """ConvModule parity: conv (+ norm when norm_cfg is set, which also
+        drops the conv bias) — mmcv ConvModule via build_conv/norm_layer."""
+        from ld_tpu.models.layers import make_conv, make_norm
+        has_norm = self.norm_cfg is not None and with_norm
+        x = make_conv(self.conv_cfg, features, kernel, stride,
+                      use_bias=not has_norm, name=name, dtype=self.dtype)(x)
+        if has_norm:
+            x = make_norm(self.norm_cfg, use_running_average=False,
+                          name=f'{name}_norm', dtype=self.dtype)(x, train)
+        return x
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -59,8 +74,8 @@ class FPN(nn.Module):
         used = list(range(self.start_level, end))
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}',
-                    dtype=self.dtype)(inputs[lvl])
+            self._cn(self.out_channels, 1, 1, f'lateral_{i}', inputs[lvl],
+                     train, with_norm=not self.no_norm_on_lateral)
             for i, lvl in enumerate(used)
         ]
 
@@ -71,8 +86,8 @@ class FPN(nn.Module):
                 laterals[i], h, w)
 
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
-                    name=f'fpn_conv_{i}', dtype=self.dtype)(laterals[i])
+            self._cn(self.out_channels, 3, 1, f'fpn_conv_{i}', laterals[i],
+                     train)
             for i in range(len(laterals))
         ]
 
@@ -93,10 +108,8 @@ class FPN(nn.Module):
                 for j in range(self.num_outs - len(outs)):
                     if j > 0 and self.relu_before_extra_convs:
                         extra = nn.relu(extra)
-                    extra = nn.Conv(self.out_channels, (3, 3),
-                                    strides=(2, 2), padding=[(1, 1)] * 2,
-                                    name=f'fpn_extra_{j}',
-                                    dtype=self.dtype)(extra)
+                    extra = self._cn(self.out_channels, 3, 2,
+                                     f'fpn_extra_{j}', extra, train)
                     outs.append(extra)
         return tuple(outs)
 
