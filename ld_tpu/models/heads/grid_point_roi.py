@@ -68,7 +68,15 @@ class GridRoIHead(StandardRoIHead):
         super().__init__(**kwargs)
         gh = dict(grid_head or {})
         self.grid_points = gh.get('grid_points', 9)
-        self.grid_roi_size = 14
+        gext = dict(grid_roi_extractor or {})
+        self.grid_roi_size = gext.get('roi_layer', {}).get('output_size', 14)
+        # GRoIE grid extractor (configs/groie/grid_rcnn_..._groie)
+        self.grid_groie = None
+        if gext.get('type') == 'GenericRoIExtractor':
+            from .roi_head import GroIENet
+            self.grid_groie = GroIENet(
+                aggregation=gext.get('aggregation', 'sum'),
+                pre_cfg=gext.get('pre_cfg'), post_cfg=gext.get('post_cfg'))
         # grid rois are whisker-expanded so border points fall inside the
         # extraction window (grid_roi_head.py); 0.25 -> 1.5x extent
         self.whisker = gh.get('whisker', 0.25)
@@ -78,14 +86,28 @@ class GridRoIHead(StandardRoIHead):
             num_convs=gh.get('num_convs', 8))
 
     def init_all_variables(self, rng, in_channels=256):
-        r1, r2 = jax.random.split(rng)
-        params = dict(bbox=self.net.init(
-            r1, jnp.zeros((1, self.roi_size, self.roi_size,
-                           in_channels)))['params'])
+        r1, r2, r3 = jax.random.split(rng, 3)
+        params = super().init_all_variables(r1, in_channels)
         params['grid'] = self.grid_net.init(
             r2, jnp.zeros((1, self.grid_roi_size, self.grid_roi_size,
                            in_channels)))['params']
+        if self.grid_groie is not None:
+            gz = [jnp.zeros((1, self.grid_roi_size, self.grid_roi_size,
+                             in_channels))] * len(self.featmap_strides)
+            params['groie_grid'] = self.grid_groie.init(r3, gz)['params']
         return params
+
+    def _extract_grid(self, variables, img_feats, rois, valid):
+        if self.grid_groie is None:
+            return multi_level_roi_align(img_feats, rois, valid,
+                                         self.grid_roi_size,
+                                         self.featmap_strides)
+        from ld_tpu.ops.roi_align import roi_align
+        lvl = [roi_align(img_feats[l], rois, self.grid_roi_size, 1.0 / s)
+               for l, s in enumerate(self.featmap_strides)]
+        out = self.grid_groie.apply(
+            {'params': variables['params']['groie_grid']}, lvl)
+        return out * valid[:, None, None, None]
 
     def forward_train(self, variables, feats, proposals, prop_valid, batch,
                       rng) -> Dict[str, jnp.ndarray]:
@@ -103,9 +125,7 @@ class GridRoIHead(StandardRoIHead):
 
         def single(img_feats, r, rv, rp, rgi, gtb):
             r = _whiskered(r, self.whisker)
-            gf = multi_level_roi_align(img_feats, r, rv & rp,
-                                       self.grid_roi_size,
-                                       self.featmap_strides)
+            gf = self._extract_grid(variables, img_feats, r, rv & rp)
             heat = self.grid_net.apply(gvars, gf)     # (R, S, S, 9)
             s = heat.shape[1]
             tgt_box = gtb[rgi]
@@ -161,9 +181,7 @@ class GridRoIHead(StandardRoIHead):
             raw = img_dets[:, :4]
             ok = img_dets[:, 4] > 0
             boxes = _whiskered(raw, self.whisker)
-            gf = multi_level_roi_align(img_feats, boxes, ok,
-                                       self.grid_roi_size,
-                                       self.featmap_strides)
+            gf = self._extract_grid(variables, img_feats, boxes, ok)
             heat = jax.nn.sigmoid(self.grid_net.apply(gvars, gf))
             k, s = heat.shape[0], heat.shape[1]
             flat = heat.transpose(0, 3, 1, 2).reshape(k, self.grid_points,

@@ -76,6 +76,45 @@ class Shared2FCBBoxHeadNet(nn.Module):
 ConvFCBBoxHeadNet = Shared2FCBBoxHeadNet
 
 
+class GroIENet(nn.Module):
+    """GenericRoIExtractor aggregation net (GRoIE, arXiv:2004.13665).
+
+    Parity: /root/reference/mmdet/models/roi_heads/roi_extractors/
+    generic_roi_extractor.py + configs/groie/: RoIAlign from EVERY FPN
+    level, optional shared pre-module per level (ConvModule), sum/concat
+    aggregation, optional post-module (e.g. GeneralizedAttention '0100').
+    """
+    aggregation: str = 'sum'
+    pre_cfg: dict = None
+    post_cfg: dict = None
+
+    def _sub(self, cfg, name):
+        t = cfg.get('type', 'ConvModule')
+        if t == 'ConvModule':
+            k = cfg.get('kernel_size', 3)
+            p = cfg.get('padding', k // 2)
+            conv = nn.Conv(cfg.get('out_channels', 256), (k, k),
+                           padding=[(p, p)] * 2, name=name)
+            return lambda x: nn.relu(conv(x))
+        from ld_tpu.models.backbones.plugins import build_plugin
+        c = {kk: v for kk, v in cfg.items() if kk != 'in_channels'}
+        mod = build_plugin(c, name=name)
+        return mod
+
+    @nn.compact
+    def __call__(self, level_feats):
+        """level_feats: list of (R, S, S, C) per-level roi features."""
+        pre = self._sub(self.pre_cfg, 'pre') if self.pre_cfg else None
+        outs = [pre(f) if pre else f for f in level_feats]
+        if self.aggregation == 'concat':
+            agg = jnp.concatenate(outs, axis=-1)
+        else:
+            agg = sum(outs)
+        if self.post_cfg:
+            agg = self._sub(self.post_cfg, 'post')(agg)
+        return agg
+
+
 def _convfc_shape(bbox_head: dict):
     """(num_convs, num_fcs) from the reference bbox_head type string or
     explicit ConvFCBBoxHead fields."""
@@ -109,13 +148,24 @@ class StandardRoIHead:
             type='CrossEntropyLoss', use_sigmoid=False, loss_weight=1.0))
         self.loss_bbox_fn = LOSSES.build(bbox_head.get('loss_bbox') or dict(
             type='L1Loss', loss_weight=1.0))
-        # reference SingleRoIExtractor/GenericRoIExtractor cfg: only
-        # the roi size + FPN strides matter here — extraction is the
-        # fused level-routed roi_align in ops/roi_align.py
+        # SingleRoIExtractor -> fused level-routed roi_align
+        # (ops/roi_align.py); GenericRoIExtractor (GRoIE) -> all-level
+        # extraction + GroIENet aggregation with learned pre/post modules
         ext = dict(bbox_roi_extractor or {})
         self.roi_size = ext.get('roi_layer', {}).get('output_size', 7)
         self.featmap_strides = tuple(ext.get('featmap_strides',
                                              (4, 8, 16, 32)))
+        self.groie = None
+        if ext.get('type') == 'GenericRoIExtractor':
+            self.groie = GroIENet(aggregation=ext.get('aggregation', 'sum'),
+                                  pre_cfg=ext.get('pre_cfg'),
+                                  post_cfg=ext.get('post_cfg'))
+        mext = dict(mask_roi_extractor or {})
+        self.mask_groie = None
+        if mext.get('type') == 'GenericRoIExtractor':
+            self.mask_groie = GroIENet(
+                aggregation=mext.get('aggregation', 'sum'),
+                pre_cfg=mext.get('pre_cfg'), post_cfg=mext.get('post_cfg'))
         self.train_cfg = train_cfg or {}
         self.test_cfg = test_cfg or dict(
             score_thr=0.05, nms=dict(iou_threshold=0.5), max_per_img=100)
@@ -217,6 +267,43 @@ class StandardRoIHead:
     def _mask_vars(self, variables):
         return {'params': variables['params']['mask']}
 
+    def _extract_rois(self, variables, img_feats, img_rois, img_valid,
+                      mask=False):
+        """Roi features for ONE image: level-routed (SingleRoIExtractor) or
+        all-level GRoIE aggregation when the extractor cfg asks for it."""
+        size = self.mask_roi_size if mask else self.roi_size
+        groie = self.mask_groie if mask else self.groie
+        if groie is None:
+            return multi_level_roi_align(img_feats, img_rois, img_valid,
+                                         size, self.featmap_strides)
+        from ld_tpu.ops.roi_align import roi_align
+        lvl_feats = [roi_align(img_feats[l], img_rois, size, 1.0 / s)
+                     for l, s in enumerate(self.featmap_strides)]
+        key = 'groie_mask' if mask else 'groie'
+        out = groie.apply({'params': variables['params'][key]}, lvl_feats)
+        return out * img_valid[:, None, None, None]
+
+    def init_all_variables(self, rng, in_channels=256):
+        """Full roi-head param tree (bbox [+ mask] [+ groie modules])."""
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        params = dict(bbox=self.net.init(
+            r1, jnp.zeros((1, self.roi_size, self.roi_size,
+                           in_channels)))['params'])
+        zeros = [jnp.zeros((1, self.roi_size, self.roi_size, in_channels))
+                 ] * len(self.featmap_strides)
+        if self.groie is not None:
+            params['groie'] = self.groie.init(r3, zeros)['params']
+        if self.mask_head is not None:
+            params['mask'] = self.mask_head.net.init(
+                r2, jnp.zeros((1, self.mask_roi_size, self.mask_roi_size,
+                               in_channels)))['params']
+            if self.mask_groie is not None:
+                mz = [jnp.zeros((1, self.mask_roi_size, self.mask_roi_size,
+                                 in_channels))] * len(self.featmap_strides)
+                params['groie_mask'] = self.mask_groie.init(
+                    r4, mz)['params']
+        return params
+
     def forward_train(self, variables, feats, proposals, prop_valid, batch,
                       rng) -> Dict[str, jnp.ndarray]:
         """feats: list of (B, H, W, C); proposals (B, P, 4);
@@ -225,9 +312,8 @@ class StandardRoIHead:
         rngs = jax.random.split(rng, b)
 
         def extract(img_feats, img_rois, img_valid):
-            return multi_level_roi_align(
-                img_feats, img_rois, img_valid, self.roi_size,
-                self.featmap_strides)
+            return self._extract_rois(variables, img_feats, img_rois,
+                                      img_valid)
 
         extras = None
         if self._hard_mining:
@@ -289,9 +375,8 @@ class StandardRoIHead:
         if self.mask_head is not None and 'gt_masks' in batch:
             mask_vars = self._mask_vars(variables)
             def mask_extract(img_feats, img_rois, img_valid):
-                return multi_level_roi_align(
-                    img_feats, img_rois, img_valid, self.mask_roi_size,
-                    self.featmap_strides)
+                return self._extract_rois(variables, img_feats, img_rois,
+                                          img_valid, mask=True)
             mask_feats = jax.vmap(mask_extract)(
                 [f for f in feats[:len(self.featmap_strides)]], rois,
                 roi_valid & roi_pos)
@@ -319,9 +404,8 @@ class StandardRoIHead:
         bbox_vars = self._bbox_vars(variables)
 
         def per_image(img_feats, img_rois, img_valid, hw, sf):
-            roi_feats = multi_level_roi_align(
-                img_feats, img_rois, img_valid, self.roi_size,
-                self.featmap_strides)
+            roi_feats = self._extract_rois(variables, img_feats, img_rois,
+                                           img_valid)
             cls, reg = self.net.apply(bbox_vars, roi_feats)
             scores = jax.nn.softmax(cls, axis=-1)[:, :self.num_classes]
             scores = scores * img_valid[:, None]
@@ -362,9 +446,8 @@ class StandardRoIHead:
             boxes = img_dets[:, :4]
             if rescale:  # mask rois need network-input coordinates
                 boxes = boxes * sf[None, :]
-            roi_feats = multi_level_roi_align(
-                img_feats, boxes, img_valid, self.mask_roi_size,
-                self.featmap_strides)
+            roi_feats = self._extract_rois(variables, img_feats, boxes,
+                                           img_valid, mask=True)
             return self.mask_head.predict(mask_vars, roi_feats,
                                           img_labels)
 
