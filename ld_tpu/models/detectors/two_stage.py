@@ -57,14 +57,12 @@ class TwoStageDetector:
         roi_cfg.setdefault('train_cfg', train_cfg.get('rcnn'))
         roi_cfg.setdefault('test_cfg', test_cfg.get('rcnn'))
         # reference sabl configs express SABL as bbox_head type='SABLHead'
-        # inside StandardRoIHead — route to the bucketing roi head
+        # inside Standard/CascadeRoIHead — route to the bucketing roi heads
         bh = roi_cfg.get('bbox_head') or {}
         if isinstance(bh, list):
-            if any((h or {}).get('type') == 'SABLHead' for h in bh):
-                raise NotImplementedError(
-                    'SABLHead inside CascadeRoIHead (sabl_cascade configs) '
-                    'is not implemented — use sabl_faster_rcnn (SABLHead in '
-                    'StandardRoIHead) or plain cascade heads')
+            if any((h or {}).get('type') == 'SABLHead' for h in bh) and \
+                    roi_cfg.get('type') == 'CascadeRoIHead':
+                roi_cfg['type'] = 'CascadeSABLRoIHead'
         elif bh.get('type') == 'SABLHead' and \
                 roi_cfg.get('type') == 'StandardRoIHead':
             roi_cfg['type'] = 'SABLRoIHead'

@@ -239,3 +239,146 @@ class CascadeRoIHead(StandardRoIHead):
             [f for f in feats[:len(self.featmap_strides)]], dets, labels,
             valid, scale_factor)
         return dets, labels, valid, masks
+
+
+@HEADS.register_module()
+class CascadeSABLRoIHead(CascadeRoIHead):
+    """Cascade R-CNN with SABL bucketing bbox heads per stage.
+
+    Parity: /root/reference/configs/sabl/sabl_cascade_rcnn_r50_fpn_1x_coco.py
+    — CascadeRoIHead whose three bbox heads are SABLHead with per-stage
+    BucketingBBoxCoder scale_factors (1.7 / 1.5 / 1.3); stage refinement
+    decodes the argmax bucket + offset, inference averages class scores over
+    stages and applies the final stage's bucketing-guided rescoring.
+    TwoStageDetector routes `CascadeRoIHead` + list-of-SABLHead here.
+    """
+
+    def __init__(self, num_stages=3, stage_loss_weights=DEFAULT_STAGE_WEIGHTS,
+                 bbox_roi_extractor=None, bbox_head=None, train_cfg=None,
+                 test_cfg=None, dtype=None, **kwargs):
+        super().__init__(num_stages=num_stages,
+                         stage_loss_weights=stage_loss_weights,
+                         bbox_roi_extractor=bbox_roi_extractor,
+                         bbox_head=bbox_head, train_cfg=train_cfg,
+                         test_cfg=test_cfg, dtype=dtype, **kwargs)
+        from ld_tpu.ops.coder import build_coder
+        from ld_tpu.utils.registry import LOSSES
+        from .roi_head import SABLBBoxHeadNet
+        bhs = bbox_head if isinstance(bbox_head, list) \
+            else [bbox_head] * num_stages
+        default_sf = (1.7, 1.5, 1.3)
+        self.coders = [
+            build_coder((bh or {}).get('bbox_coder') or dict(
+                type='BucketingBBoxCoder', num_buckets=14,
+                scale_factor=default_sf[min(i, 2)]))
+            for i, bh in enumerate(bhs)
+        ]
+        bh0 = bhs[0] or {}
+        self.loss_bbox_cls_fn = LOSSES.build(
+            bh0.get('loss_bbox_cls') or dict(
+                type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0))
+        self.loss_bbox_reg_fn = LOSSES.build(
+            bh0.get('loss_bbox_reg') or dict(
+                type='SmoothL1Loss', beta=0.1, loss_weight=1.0))
+        self.nets = [
+            SABLBBoxHeadNet(
+                num_classes=self.num_classes, side_num=c.side_num,
+                fc_dim=(bh or {}).get('cls_out_channels', 1024),
+                conv_dim=(bh or {}).get('reg_cls_out_channels', 256),
+                roi_size=self.roi_size)
+            for c, bh in zip(self.coders, bhs)
+        ]
+        self.net = self.nets[0]
+
+    def _encode_roi_targets(self, rois, matched_gt):
+        # bucketing encode deferred to the stage loss (SABLRoIHead semantics)
+        return matched_gt
+
+    def forward_train(self, variables, feats, proposals, prop_valid, batch,
+                      rng) -> Dict[str, jnp.ndarray]:
+        losses = {}
+        boxes, valid = proposals, prop_valid
+        for i in range(self.num_stages):
+            self.assigner.pos_iou_thr = self.stage_ious[i]
+            self.assigner.neg_iou_thr = self.stage_ious[i]
+            self.assigner.min_pos_iou = self.stage_ious[i]
+            self.coder = self.coders[i]
+            (rois, roi_valid, roi_pos, labels, gt_boxes,
+             _, _) = jax.vmap(self.sample_rois)(
+                 boxes, valid, batch['gt_bboxes'], batch['gt_labels'],
+                 batch['gt_valid'], jax.random.split(
+                     jax.random.fold_in(rng, i), boxes.shape[0]))
+
+            def extract(img_feats, img_rois, img_valid):
+                return multi_level_roi_align(
+                    img_feats, img_rois, img_valid, self.roi_size,
+                    self.featmap_strides)
+
+            roi_feats = jax.vmap(extract)(
+                [f for f in feats[:len(self.featmap_strides)]], rois,
+                roi_valid)
+            cls, (bucket_cls, bucket_off) = self.nets[i].apply(
+                self._stage_vars(variables, i),
+                roi_feats.reshape(-1, self.roi_size, self.roi_size,
+                                  roi_feats.shape[-1]))
+            labels_f = labels.reshape(-1)
+            validf = roi_valid.reshape(-1).astype(jnp.float32)
+            posf = roi_pos.reshape(-1).astype(jnp.float32)
+            avg = jnp.maximum(validf.sum(), 1.0)
+            w = self.stage_loss_weights[i]
+            losses[f'loss_cls_s{i}'] = w * self.loss_cls_fn(
+                cls, labels_f, weight=validf, avg_factor=avg)
+            flat_rois = rois.reshape(-1, 4)
+            offs, off_w, lab1h, cls_w = self.coders[i].encode(
+                flat_rois, gt_boxes.reshape(-1, 4))
+            n_pos = jnp.maximum(posf.sum(), 1.0)
+            sn = self.coders[i].side_num
+            losses[f'loss_bbox_cls_s{i}'] = w * self.loss_bbox_cls_fn(
+                bucket_cls, lab1h, weight=cls_w * posf[:, None],
+                avg_factor=n_pos * 4.0 * sn)
+            losses[f'loss_bbox_reg_s{i}'] = w * self.loss_bbox_reg_fn(
+                bucket_off, offs, weight=off_w * posf[:, None],
+                avg_factor=n_pos * 4.0 * self.coders[i].offset_topk)
+            # refine rois for the next stage via bucketing decode
+            b = rois.shape[0]
+            refined, _conf = self.coders[i].decode(
+                flat_rois, (bucket_cls, bucket_off), max_shape=None)
+            boxes = jax.lax.stop_gradient(refined.reshape(b, -1, 4))
+            valid = roi_valid
+        return losses
+
+    def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
+                    scale_factor=None, rescale=False, cfg=None,
+                    with_masks=None):
+        cfg = cfg or self.test_cfg
+
+        def per_image(img_feats, img_rois, img_valid, hw, sf):
+            boxes = img_rois
+            cls_sum = None
+            conf = None
+            for i in range(self.num_stages):
+                roi_feats = multi_level_roi_align(
+                    img_feats, boxes, img_valid, self.roi_size,
+                    self.featmap_strides)
+                cls, (bucket_cls, bucket_off) = self.nets[i].apply(
+                    self._stage_vars(variables, i), roi_feats)
+                scores = jax.nn.softmax(cls, axis=-1)
+                cls_sum = scores if cls_sum is None else cls_sum + scores
+                boxes, conf = self.coders[i].decode(
+                    boxes, (bucket_cls, bucket_off), max_shape=hw)
+            scores = (cls_sum / self.num_stages)[:, :self.num_classes]
+            # final stage's bucketing-guided rescoring
+            scores = scores * conf[:, None] * img_valid[:, None]
+            out_boxes = boxes
+            if rescale and sf is not None:
+                out_boxes = out_boxes / sf[None, :]
+            return multiclass_nms(
+                out_boxes, scores, cfg.get('score_thr', 0.05),
+                cfg.get('nms', {}).get('iou_threshold', 0.5),
+                max_per_img=cfg.get('max_per_img', 100))
+
+        if scale_factor is None:
+            scale_factor = jnp.ones((proposals.shape[0], 4))
+        return jax.vmap(per_image)(
+            [f for f in feats[:len(self.featmap_strides)]], proposals,
+            prop_valid, img_hw, scale_factor)

@@ -510,10 +510,6 @@ class SABLRoIHead(StandardRoIHead):
             type='BucketingBBoxCoder', num_buckets=14, scale_factor=1.7))
         super().__init__(bbox_roi_extractor=bbox_roi_extractor,
                          bbox_head=bbox_head, **kwargs)
-        if self.mask_head is not None:
-            raise NotImplementedError(
-                'SABLRoIHead has no mask branch — drop mask_head or use '
-                'StandardRoIHead')
         if self._hard_mining:
             raise NotImplementedError(
                 'OHEM/ScoreHLR hard mining is not wired into SABLRoIHead '
@@ -540,15 +536,14 @@ class SABLRoIHead(StandardRoIHead):
                       rng) -> Dict[str, jnp.ndarray]:
         b = proposals.shape[0]
         rngs = jax.random.split(rng, b)
-        (rois, roi_valid, roi_pos, labels, gt_boxes, _,
+        (rois, roi_valid, roi_pos, labels, gt_boxes, roi_gt_inds,
          roi_weights) = jax.vmap(self.sample_rois)(
              proposals, prop_valid, batch['gt_bboxes'],
              batch['gt_labels'], batch['gt_valid'], rngs, None)
 
         def extract(img_feats, img_rois, img_valid):
-            return multi_level_roi_align(
-                img_feats, img_rois, img_valid, self.roi_size,
-                self.featmap_strides)
+            return self._extract_rois(variables, img_feats, img_rois,
+                                      img_valid)
 
         roi_feats = jax.vmap(extract)(
             [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
@@ -578,8 +573,29 @@ class SABLRoIHead(StandardRoIHead):
             bucket_off, offs,
             weight=off_w * posf[:, None],
             avg_factor=n_pos * 4.0 * self.coder.offset_topk)
-        return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bucket_cls,
-                    loss_bbox_reg=loss_bucket_reg)
+        losses = dict(loss_cls=loss_cls, loss_bbox_cls=loss_bucket_cls,
+                      loss_bbox_reg=loss_bucket_reg)
+        # optional mask branch (SABL + mask: the bucketing bbox head is
+        # orthogonal to the mask machinery, same as StandardRoIHead)
+        if self.mask_head is not None and 'gt_masks' in batch:
+            mask_vars = self._mask_vars(variables)
+
+            def mask_extract(img_feats, img_rois, img_valid):
+                return self._extract_rois(variables, img_feats, img_rois,
+                                          img_valid, mask=True)
+
+            mask_feats = jax.vmap(mask_extract)(
+                [f for f in feats[:len(self.featmap_strides)]], rois,
+                roi_valid & roi_pos)
+
+            def one_img(mf, r, rp, rl, rgi, gm):
+                return self.mask_head.loss(mask_vars, mf, r, rp, rl, rgi,
+                                           gm)
+
+            losses['loss_mask'] = jax.vmap(one_img)(
+                mask_feats, rois, roi_pos, labels, roi_gt_inds,
+                batch['gt_masks']).mean()
+        return losses
 
     def simple_test(self, variables, feats, proposals, prop_valid, img_hw,
                     scale_factor=None, rescale=False, cfg=None,
@@ -588,9 +604,8 @@ class SABLRoIHead(StandardRoIHead):
         bbox_vars = self._bbox_vars(variables)
 
         def per_image(img_feats, img_rois, img_valid, hw, sf):
-            roi_feats = multi_level_roi_align(
-                img_feats, img_rois, img_valid, self.roi_size,
-                self.featmap_strides)
+            roi_feats = self._extract_rois(variables, img_feats, img_rois,
+                                           img_valid)
             cls, (bucket_cls, bucket_off) = self.net.apply(bbox_vars,
                                                            roi_feats)
             scores = jax.nn.softmax(cls, axis=-1)[:, :self.num_classes]
@@ -608,6 +623,24 @@ class SABLRoIHead(StandardRoIHead):
 
         if scale_factor is None:
             scale_factor = jnp.ones((proposals.shape[0], 4))
-        return jax.vmap(per_image)(
+        dets, labels, valid = jax.vmap(per_image)(
             [f for f in feats[:len(self.featmap_strides)]], proposals,
             prop_valid, img_hw, scale_factor)
+        if with_masks is None:
+            with_masks = self.mask_head is not None
+        if not with_masks or self.mask_head is None:
+            return dets, labels, valid
+        mask_vars = self._mask_vars(variables)
+
+        def per_image_masks(img_feats, img_dets, img_labels, img_valid, sf):
+            boxes = img_dets[:, :4]
+            if rescale:
+                boxes = boxes * sf[None, :]
+            roi_feats = self._extract_rois(variables, img_feats, boxes,
+                                           img_valid, mask=True)
+            return self.mask_head.predict(mask_vars, roi_feats, img_labels)
+
+        masks = jax.vmap(per_image_masks)(
+            [f for f in feats[:len(self.featmap_strides)]], dets, labels,
+            valid, scale_factor)
+        return dets, labels, valid, masks

@@ -132,3 +132,99 @@ def test_sabl_roi_head_faster_rcnn():
                                         img_hw=batch['img_hw'],
                                         scale_factor=jnp.ones((1, 4))))
     assert d.shape == (1, 10, 5)
+
+
+def test_sabl_cascade_rcnn_trains_and_infers():
+    """SABL inside CascadeRoIHead (reference sabl_cascade configs):
+    per-stage bucketing coders 1.7/1.5/1.3, finite losses every stage,
+    bucketing-refined inference."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ld_tpu import Config
+    from ld_tpu.models import build_detector
+    cfg = Config.fromfile(os.path.join(
+        os.path.dirname(__file__), '..',
+        'configs/sabl/sabl_cascade_rcnn_r50_fpn_1x_coco.py'))
+    mc = dict(cfg.model)
+    mc['backbone'] = dict(mc['backbone'], depth=18)
+    mc['neck'] = dict(mc['neck'], in_channels=[64, 128, 256, 512])
+    mc['train_cfg'] = dict(cfg.get('train_cfg') or {},
+                           rcnn=dict(sampler=dict(num=32,
+                                                  pos_fraction=0.25)))
+    mc['test_cfg'] = dict(rpn=dict(nms_pre=64, max_per_img=32),
+                          rcnn=dict(score_thr=0.05,
+                                    nms=dict(iou_threshold=0.5),
+                                    max_per_img=10))
+    det = build_detector(mc)
+    assert type(det.roi_head).__name__ == 'CascadeSABLRoIHead'
+    assert [c.scale_factor for c in det.roi_head.coders] == [1.7, 1.5, 1.3]
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0] = [5, 5, 40, 50]
+    gt[0, 1] = [20, 15, 80, 60]
+    valid = np.zeros((1, 4), bool)
+    valid[0, :2] = True
+    batch = dict(
+        image=jnp.asarray(np.random.RandomState(0).randn(1, 64, 96, 3),
+                          jnp.float32),
+        gt_bboxes=jnp.asarray(gt), gt_labels=jnp.zeros((1, 4), jnp.int32),
+        gt_valid=jnp.asarray(valid), img_hw=jnp.asarray([[64., 96.]]))
+    losses = det.forward_train(v, batch, rng=jax.random.PRNGKey(3))
+    for i in range(3):
+        assert f'loss_bbox_cls_s{i}' in losses
+        assert f'loss_bbox_reg_s{i}' in losses
+    assert all(np.isfinite(float(x)) for x in losses.values()), losses
+    d, l, vv = det.forward_test(v, dict(image=batch['image'],
+                                        img_hw=batch['img_hw'],
+                                        scale_factor=jnp.ones((1, 4))))
+    assert d.shape == (1, 10, 5)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_sabl_roi_head_with_mask():
+    """SABL + mask branch (previously a loud NotImplementedError)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ld_tpu.models import build_detector
+    cfg = dict(
+        type='MaskRCNN',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=64, num_outs=5),
+        rpn_head=dict(type='RPNHead', in_channels=64, feat_channels=64),
+        roi_head=dict(type='StandardRoIHead',
+                      bbox_roi_extractor=dict(
+                          featmap_strides=[4, 8, 16, 32]),
+                      bbox_head=dict(type='SABLHead', num_classes=4,
+                                     in_channels=64, fc_out_channels=64,
+                                     conv_out_channels=32),
+                      mask_head=dict(num_convs=2, conv_out_channels=32)),
+        train_cfg=dict(rcnn=dict(sampler=dict(num=32, pos_fraction=0.25))),
+        test_cfg=dict(rpn=dict(nms_pre=64, max_per_img=32),
+                      rcnn=dict(score_thr=0.05,
+                                nms=dict(iou_threshold=0.5),
+                                max_per_img=10)))
+    det = build_detector(cfg)
+    assert type(det.roi_head).__name__ == 'SABLRoIHead'
+    v = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0] = [5, 5, 40, 50]
+    valid = np.zeros((1, 4), bool)
+    valid[0, 0] = True
+    batch = dict(
+        image=jnp.asarray(np.random.RandomState(0).randn(1, 64, 96, 3),
+                          jnp.float32),
+        gt_bboxes=jnp.asarray(gt), gt_labels=jnp.zeros((1, 4), jnp.int32),
+        gt_valid=jnp.asarray(valid), img_hw=jnp.asarray([[64., 96.]]),
+        gt_masks=jnp.ones((1, 4, 64, 96), jnp.float32))
+    losses = det.forward_train(v, batch)
+    assert 'loss_mask' in losses
+    assert all(np.isfinite(float(x)) for x in losses.values()), losses
+    out = det.forward_test(v, dict(image=batch['image'],
+                                   img_hw=batch['img_hw'],
+                                   scale_factor=jnp.ones((1, 4))))
+    assert len(out) == 4  # dets, labels, valid, masks
