@@ -47,8 +47,18 @@ class LDHead(GFLHead):
                  loss_kd=None,
                  loss_im=None,
                  imitation_method='gibox',
+                 gi_candidates=512,
+                 gi_top=10,
                  **kwargs):
         super().__init__(num_classes, in_channels, **kwargs)
+        # GI-region NMS candidate prefix: the reference NMS-es EVERY anchor
+        # of a level (ld_head.py:637); here the greedy NMS runs on the
+        # gi_candidates highest GI scores (top-k), which is exact whenever
+        # the <=gi_top greedy picks live inside the prefix — true for
+        # realistic score fields (see tests/test_gi_region.py) and
+        # guaranteed by setting gi_candidates >= the level's anchor count.
+        self.gi_candidates = gi_candidates
+        self.gi_top = gi_top
         self.loss_ld = LOSSES.build(loss_ld or dict(
             type='KnowledgeDistillationKLDivLoss', loss_weight=0.25, T=10))
         self.loss_ld_vlr = LOSSES.build(loss_ld_vlr or dict(
@@ -227,7 +237,8 @@ class LDHead(GFLHead):
                     soft_label[:, lo:hi].reshape(-1, self.cls_out_channels),
                     pred_flat[:, lo:hi].reshape(-1, pred_flat.shape[-1]),
                     soft_target[:, lo:hi].reshape(-1, pred_flat.shape[-1]),
-                    centers)
+                    centers, gi_candidates=self.gi_candidates,
+                    gi_top=self.gi_top)
                 mse = ((xs - ts)**2).mean(axis=-1)
                 total = total + (mse * mask).sum() / jnp.maximum(
                     mask.sum(), 1.0)
