@@ -156,9 +156,112 @@ class TwoStageDetector:
 
 for _name in ('FasterRCNN', 'MaskRCNN', 'CascadeRCNN', 'MaskScoringRCNN',
               'DynamicRCNN', 'GridRCNN', 'DoubleHeadRCNN',
-              'HybridTaskCascade', 'SCNet', 'PointRend', 'FastRCNN'):
+              'HybridTaskCascade', 'SCNet', 'PointRend'):
     DETECTORS.register_module(name=_name, module=type(
         _name, (TwoStageDetector, ), {}))
+
+
+@DETECTORS.register_module()
+class FastRCNN(TwoStageDetector):
+    """Fast R-CNN: the ROI head trained/tested on PRECOMPUTED proposals.
+
+    Parity: /root/reference/mmdet/models/detectors/fast_rcnn.py — the config
+    carries no rpn_head and the dataloader provides `proposals` per image.
+    Here proposals arrive as batch['proposals'] (B, P, 4) with
+    batch['proposals_valid'] (B, P) masks (TPU static shapes); without them
+    the detector falls back to its own RPN (so shared two-stage tests and
+    the default-RPN build path still work).
+    """
+
+    def forward_train(self, variables, batch, rng=None):
+        if 'proposals' not in batch:
+            return super().forward_train(variables, batch, rng)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        feats, _rpn_outs, roi_vars = self.extract(variables, batch['image'],
+                                                  train=True)
+        proposals = batch['proposals']
+        prop_valid = batch.get(
+            'proposals_valid',
+            jnp.ones(proposals.shape[:2], bool))
+        return dict(self.roi_head.forward_train(
+            roi_vars, list(feats), proposals, prop_valid, batch,
+            rng=jax.random.fold_in(rng, 2)))
+
+    def forward_test(self, variables, batch, rescale=False):
+        if 'proposals' not in batch:
+            return super().forward_test(variables, batch, rescale)
+        feats, _rpn_outs, roi_vars = self.extract(variables, batch['image'])
+        proposals = batch['proposals']
+        prop_valid = batch.get(
+            'proposals_valid',
+            jnp.ones(proposals.shape[:2], bool))
+        return self.roi_head.simple_test(
+            roi_vars, list(feats), proposals, prop_valid, batch['img_hw'],
+            batch.get('scale_factor'), rescale=rescale)
+
+    simple_test = forward_test
+
+
+@DETECTORS.register_module()
+class RPN(TwoStageDetector):
+    """Standalone region-proposal network (reference detectors/rpn.py):
+    trains only the RPN losses; testing returns the proposals as
+    class-agnostic detections (B, max_per_img, 5)."""
+
+    def __init__(self, backbone, neck=None, rpn_head=None, train_cfg=None,
+                 test_cfg=None, pretrained=None, **kwargs):
+        train_cfg = dict(train_cfg or {})
+        test_cfg = dict(test_cfg or {})
+        # reference rpn configs put the cfgs at top level, not under
+        # 'rpn'/'rcnn' — normalize
+        if 'rpn' not in train_cfg and train_cfg:
+            train_cfg = dict(rpn=train_cfg)
+        if 'rpn' not in test_cfg and test_cfg:
+            test_cfg = dict(rpn=test_cfg)
+        super().__init__(backbone, neck=neck, rpn_head=rpn_head,
+                         roi_head=dict(type='StandardRoIHead',
+                                       bbox_head=dict(num_classes=1)),
+                         train_cfg=train_cfg, test_cfg=test_cfg,
+                         pretrained=pretrained)
+
+    def init_variables(self, rng, input_shape=(1, 64, 64, 3)):
+        # no ROI head in a pure RPN: backbone + neck + rpn params only
+        return self.net.init(rng, jnp.zeros(input_shape, jnp.float32))
+
+    def _split(self, variables):
+        main = {'params': dict(variables['params']),
+                'batch_stats': variables.get('batch_stats', {})}
+        main['params'].pop('roi_head', None)
+        return main, {'params': {}}
+
+    def forward_train(self, variables, batch, rng=None):
+        _rng = rng if rng is not None else jax.random.PRNGKey(0)
+        feats, rpn_outs, _ = self.extract(variables, batch['image'],
+                                          train=True)
+        featmap_sizes = [c.shape[1:3] for c in rpn_outs[0]]
+        return dict(self.rpn_head.loss(rpn_outs, batch, featmap_sizes,
+                                       rng=jax.random.fold_in(_rng, 1)))
+
+    def forward_test(self, variables, batch, rescale=False):
+        feats, rpn_outs, _ = self.extract(variables, batch['image'])
+        proposals, prop_valid = self.rpn_head.get_proposals(
+            rpn_outs, batch['img_hw'], cfg=self.test_cfg.get('rpn'))
+        # proposals carry objectness in col 4 when the head provides it;
+        # otherwise rank order is the score
+        b, p = proposals.shape[:2]
+        if proposals.shape[-1] == 4:
+            scores = jnp.broadcast_to(
+                jnp.linspace(1.0, 0.0, p, endpoint=False)[None], (b, p))
+            dets = jnp.concatenate([proposals, scores[..., None]], -1)
+        else:
+            dets = proposals
+        if rescale and batch.get('scale_factor') is not None:
+            sf = batch['scale_factor']
+            dets = dets.at[..., :4].set(dets[..., :4] / sf[:, None, :])
+        labels = jnp.zeros((b, p), jnp.int32)
+        return dets, labels, prop_valid
+
+    simple_test = forward_test
 
 
 @DETECTORS.register_module()

@@ -76,6 +76,41 @@ class Shared2FCBBoxHeadNet(nn.Module):
 ConvFCBBoxHeadNet = Shared2FCBBoxHeadNet
 
 
+class DeformRoIPoolNet(nn.Module):
+    """Offset (+ modulation) branch of deformable RoI pooling.
+
+    Parity: mmcv DeformRoIPoolPack / ModulatedDeformRoIPoolPack (used by
+    the reference's configs/dcn dpool/mdpool variants): a standard RoIAlign
+    first pass feeds two FCs producing per-bin (dx, dy) offsets (zero-init
+    -> starts exactly as plain RoIAlign); the modulated variant adds a
+    sigmoid per-bin mask branch.
+    """
+    out_size: int = 7
+    deform_fc_channels: int = 1024
+    modulated: bool = False
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        r = roi_feats.shape[0]
+        x = roi_feats.reshape(r, -1)
+        o = nn.relu(nn.Dense(self.deform_fc_channels, name='offset_fc1')(x))
+        o = nn.Dense(self.out_size * self.out_size * 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name='offset_fc2')(o)
+        offsets = o.reshape(r, self.out_size, self.out_size, 2)
+        mask = None
+        if self.modulated:
+            m = nn.relu(nn.Dense(self.deform_fc_channels,
+                                 name='mask_fc1')(x))
+            m = nn.Dense(self.out_size * self.out_size,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, name='mask_fc2')(m)
+            # zero-init -> sigmoid 0.5; mmcv starts at 0.5 modulation too
+            mask = jax.nn.sigmoid(m).reshape(r, self.out_size,
+                                             self.out_size, 1)
+        return offsets, mask
+
+
 class GroIENet(nn.Module):
     """GenericRoIExtractor aggregation net (GRoIE, arXiv:2004.13665).
 
@@ -160,6 +195,17 @@ class StandardRoIHead:
             self.groie = GroIENet(aggregation=ext.get('aggregation', 'sum'),
                                   pre_cfg=ext.get('pre_cfg'),
                                   post_cfg=ext.get('post_cfg'))
+        # deformable RoI pooling (configs/dcn dpool/mdpool):
+        # roi_layer type DeformRoIPoolPack / ModulatedDeformRoIPoolPack
+        rl_type = ext.get('roi_layer', {}).get('type', 'RoIAlign')
+        self.dpool = None
+        if rl_type in ('DeformRoIPoolPack', 'ModulatedDeformRoIPoolPack'):
+            self.dpool = DeformRoIPoolNet(
+                out_size=self.roi_size,
+                deform_fc_channels=ext.get('roi_layer', {}).get(
+                    'deform_fc_channels', 1024),
+                modulated=rl_type.startswith('Modulated'))
+            self.dpool_gamma = ext.get('roi_layer', {}).get('gamma', 0.1)
         mext = dict(mask_roi_extractor or {})
         self.mask_groie = None
         if mext.get('type') == 'GenericRoIExtractor':
@@ -274,8 +320,21 @@ class StandardRoIHead:
         size = self.mask_roi_size if mask else self.roi_size
         groie = self.mask_groie if mask else self.groie
         if groie is None:
-            return multi_level_roi_align(img_feats, img_rois, img_valid,
-                                         size, self.featmap_strides)
+            first = multi_level_roi_align(img_feats, img_rois, img_valid,
+                                          size, self.featmap_strides)
+            if mask or self.dpool is None:
+                return first
+            # deformable RoI pooling: offsets from the first pass, then a
+            # second offset-shifted (and optionally modulated) extraction
+            from ld_tpu.ops.roi_align import multi_level_roi_align_offsets
+            offsets, modmask = self.dpool.apply(
+                {'params': variables['params']['dpool']}, first)
+            out = multi_level_roi_align_offsets(
+                img_feats, img_rois, img_valid, offsets, size,
+                self.featmap_strides, gamma=self.dpool_gamma)
+            if modmask is not None:
+                out = out * modmask
+            return out
         from ld_tpu.ops.roi_align import roi_align
         lvl_feats = [roi_align(img_feats[l], img_rois, size, 1.0 / s)
                      for l, s in enumerate(self.featmap_strides)]
@@ -293,6 +352,9 @@ class StandardRoIHead:
                  ] * len(self.featmap_strides)
         if self.groie is not None:
             params['groie'] = self.groie.init(r3, zeros)['params']
+        if getattr(self, 'dpool', None) is not None:
+            params['dpool'] = self.dpool.init(
+                jax.random.fold_in(rng, 7), zeros[0])['params']
         if self.mask_head is not None:
             params['mask'] = self.mask_head.net.init(
                 r2, jnp.zeros((1, self.mask_roi_size, self.mask_roi_size,
