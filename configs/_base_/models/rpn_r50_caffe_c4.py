@@ -1,0 +1,15 @@
+# Parity: /root/reference/configs/_base_/models/rpn_r50_caffe_c4.py
+model = dict(
+    type='RPN',
+    pretrained='open-mmlab://detectron2/resnet50_caffe',
+    backbone=dict(type='ResNet', depth=50, num_stages=3,
+                  strides=(1, 2, 2), dilations=(1, 1, 1),
+                  out_indices=(2, ), frozen_stages=1,
+                  norm_eval=True, style='caffe'),
+    neck=dict(type='ChannelMapper', in_channels=[1024], out_channels=256),
+    rpn_head=dict(type='RPNHead', in_channels=256, feat_channels=256,
+                  anchor_generator=dict(type='AnchorGenerator',
+                                        scales=[2, 4, 8, 16, 32],
+                                        ratios=[0.5, 1.0, 2.0],
+                                        strides=[16])),
+    test_cfg=dict(nms_pre=12000, max_per_img=2000))

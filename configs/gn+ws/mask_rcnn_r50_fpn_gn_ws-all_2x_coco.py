@@ -12,9 +12,7 @@ model = dict(
             type='Shared4Conv1FCBBoxHead',
             conv_out_channels=256,
             conv_cfg=conv_cfg,
-            norm_cfg=norm_cfg)))
-model = dict(
-    roi_head=dict(
+            norm_cfg=norm_cfg),
         mask_head=dict(conv_cfg=conv_cfg, norm_cfg=norm_cfg)))
 lr_config = dict(step=[16, 22])
 total_epochs = 24

@@ -1,0 +1,13 @@
+# Parity: /root/reference/configs/lvis/mask_rcnn_r101_fpn_sample1e-3_mstrain_1x_lvis_v1.py
+_base_ = [
+    '../_base_/models/mask_rcnn_r50_fpn.py',
+    '../_base_/datasets/lvis_v1_instance.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    roi_head=dict(bbox_head=dict(num_classes=1203),
+                  mask_head=dict(num_classes=1203)),
+    test_cfg=dict(rcnn=dict(score_thr=0.0001, max_per_img=300)))
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101))

@@ -1,0 +1,14 @@
+# Parity: /root/reference/configs/lvis/mask_rcnn_x101_32x4d_fpn_sample1e-3_mstrain_2x_lvis_v0.5.py
+_base_ = [
+    '../_base_/models/mask_rcnn_r50_fpn.py',
+    '../_base_/datasets/lvis_v0.5_instance.py',
+    '../_base_/schedules/schedule_2x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    roi_head=dict(bbox_head=dict(num_classes=1230),
+                  mask_head=dict(num_classes=1230)),
+    test_cfg=dict(rcnn=dict(score_thr=0.0001, max_per_img=300)))
+model = dict(
+    pretrained='open-mmlab://resnext101_32x4d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32, base_width=4))

@@ -1,7 +1,7 @@
 # SABL Faster R-CNN: side-aware bucketing bbox head in the ROI stage.
 # Parity: /root/reference/configs/sabl/sabl_faster_rcnn_r50_fpn_1x_coco.py
-# (the reference's reg_feat_up_ratio/pre-post conv tower is compacted into
-# one conv+FC reg trunk — see heads/roi_head.py SABLBBoxHeadNet docstring).
+# (full side-aware tower: attention pool + 1-D post convs + reg_feat_up_ratio
+# ConvTranspose upsample — see heads/roi_head.py SABLBBoxHeadNet).
 _base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
 model = dict(
     roi_head=dict(

@@ -1,0 +1,14 @@
+# Parity: /root/reference/configs/tridentnet/tridentnet_r50_caffe_mstrain_1x_coco.py
+_base_ = './tridentnet_r50_caffe_1x_coco.py'
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='FusedPreprocess',
+         img_scale=[(1333, 640), (1333, 800)], multiscale_mode='range',
+         size_divisor=32,
+         mean=[103.530, 116.280, 123.675], std=[1.0, 1.0, 1.0],
+         to_rgb=False),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+data = dict(train=dict(pipeline=train_pipeline))

@@ -95,12 +95,20 @@ def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> float:
 @PIPELINES.register_module()
 class Resize:
     def __init__(self, img_scale=(1333, 800), keep_ratio=True,
-                 ratio_range=None, multiscale_mode='range'):
+                 ratio_range=None, multiscale_mode='range',
+                 override=False, bbox_clip_border=True):
         assert multiscale_mode in ('range', 'value')
         self.img_scale = img_scale
         self.keep_ratio = keep_ratio
         self.ratio_range = ratio_range
         self.multiscale_mode = multiscale_mode
+        # reference transforms.py:186 `override`: a second Resize later in
+        # the pipeline (DETR's crop->re-resize aug) resamples its own scale
+        # instead of reusing the first Resize's. This stack never persists
+        # 'scale' into results, so a later Resize always resamples; the
+        # flag only marks intent / keeps reference configs loadable.
+        self.override = override
+        self.bbox_clip_border = bbox_clip_border
 
     def _sample_scale(self) -> Tuple[int, int]:
         """Reference Resize._random_scale semantics
@@ -139,7 +147,8 @@ class Resize:
         h, w = img.shape[:2]
         # reference parity (transforms.py:30-33): an explicit 'scale' in the
         # results dict (MultiScaleFlipAug / per-batch override) wins
-        scale = results.get('scale') or self._sample_scale()
+        scale = (self._sample_scale() if self.override
+                 else results.get('scale') or self._sample_scale())
         if self.keep_ratio:
             factor = rescale_size(h, w, scale)
             new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
@@ -155,8 +164,9 @@ class Resize:
             [w_scale, h_scale, w_scale, h_scale], np.float32)
         if 'gt_bboxes' in results:
             bb = results['gt_bboxes'] * results['scale_factor']
-            bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
-            bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
+            if self.bbox_clip_border:
+                bb[:, 0::2] = bb[:, 0::2].clip(0, new_w)
+                bb[:, 1::2] = bb[:, 1::2].clip(0, new_h)
             results['gt_bboxes'] = bb
         if 'gt_masks' in results:
             results['gt_masks'] = [
@@ -310,19 +320,40 @@ class RandomCrop:
 
     Parity: /root/reference/mmdet/datasets/pipelines/transforms.py:588."""
 
-    def __init__(self, crop_size, allow_negative_crop=False):
+    def __init__(self, crop_size, crop_type='absolute',
+                 allow_negative_crop=False):
+        assert crop_type in ('absolute', 'absolute_range', 'relative',
+                             'relative_range')
         self.crop_size = crop_size  # (h, w)
+        self.crop_type = crop_type
         self.allow_negative_crop = allow_negative_crop
+
+    def _sample_crop(self, h, w):
+        """Reference transforms.py:700 _get_crop_size semantics."""
+        a, b = self.crop_size
+        if self.crop_type == 'absolute':
+            return min(int(a), h), min(int(b), w)
+        if self.crop_type == 'absolute_range':
+            assert a <= b
+            ch = np.random.randint(min(h, a), min(h, b) + 1)
+            cw = np.random.randint(min(w, a), min(w, b) + 1)
+            return ch, cw
+        if self.crop_type == 'relative':
+            return int(h * a + 0.5), int(w * b + 0.5)
+        # relative_range
+        ch = a + np.random.rand() * (1 - a)
+        cw = b + np.random.rand() * (1 - b)
+        return int(h * ch + 0.5), int(w * cw + 0.5)
 
     def __call__(self, results):
         img = results['img']
         h, w = img.shape[:2]
-        ch = min(self.crop_size[0], h)
-        cw = min(self.crop_size[1], w)
+        ch, cw = self._sample_crop(h, w)
         y0 = np.random.randint(0, h - ch + 1)
         x0 = np.random.randint(0, w - cw + 1)
         results['img'] = img[y0:y0 + ch, x0:x0 + cw]
         results['img_shape'] = results['img'].shape
+        keep = None
         if 'gt_bboxes' in results:
             bb = results['gt_bboxes'] - np.asarray(
                 [x0, y0, x0, y0], np.float32)
@@ -334,6 +365,11 @@ class RandomCrop:
             results['gt_bboxes'] = bb[keep]
             if 'gt_labels' in results:
                 results['gt_labels'] = results['gt_labels'][keep]
+        if 'gt_masks' in results:
+            masks = [m[y0:y0 + ch, x0:x0 + cw] for m in results['gt_masks']]
+            if keep is not None:
+                masks = [m for m, k in zip(masks, keep) if k]
+            results['gt_masks'] = masks
         return results
 
 

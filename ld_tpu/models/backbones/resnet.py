@@ -33,6 +33,7 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False   # gamma=0 (zero_init_residual blocks)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,6 +42,8 @@ class BatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
+            scale_init=(nn.initializers.zeros if self.zero_init
+                        else nn.initializers.ones),
             name='bn')(x)
 
 
@@ -51,10 +54,10 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
                      name=name, dtype=dtype)
 
 
-def _norm(norm_cfg, norm_eval, name, dtype):
+def _norm(norm_cfg, norm_eval, name, dtype, zero_init=False):
     from ld_tpu.models.layers import make_norm
     return make_norm(norm_cfg, use_running_average=norm_eval, name=name,
-                     dtype=dtype)
+                     dtype=dtype, zero_init=zero_init)
 
 
 class BasicBlock(nn.Module):
@@ -65,6 +68,7 @@ class BasicBlock(nn.Module):
     avg_down: bool = False
     conv_cfg: dict = None
     norm_cfg: dict = None
+    zero_init_final: bool = False   # zero_init_residual: gamma=0 last norm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,7 +82,7 @@ class BasicBlock(nn.Module):
         out = _conv(self.filters, 3, 1, 'conv2', self.dtype,
                     self.conv_cfg)(out)
         out = _norm(self.norm_cfg, self.norm_eval, 'norm2',
-                    self.dtype)(out, train)
+                    self.dtype, zero_init=self.zero_init_final)(out, train)
         if self.downsample:
             identity = _shortcut(x, self.filters, self.stride,
                                  self.avg_down, self.norm_eval, self.dtype,
@@ -113,6 +117,7 @@ class Bottleneck(nn.Module):
     # stage plugins active in this block: tuple of plugin cfg dicts, each
     # with a 'position' in after_conv1/2/3 (reference resnet.py:109-118)
     plugins: tuple = ()
+    zero_init_final: bool = False   # zero_init_residual: gamma=0 last norm
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -164,7 +169,7 @@ class Bottleneck(nn.Module):
         out = _conv(self.filters * self.expansion, 1, 1, 'conv3',
                     self.dtype, self.conv_cfg)(out)
         out = _norm(self.norm_cfg, self.norm_eval, 'norm3',
-                    self.dtype)(out, train)
+                    self.dtype, zero_init=self.zero_init_final)(out, train)
         out = self._apply_plugins(out, 'after_conv3')
         if self.downsample:
             identity = _shortcut(x, self.filters * self.expansion,
@@ -205,6 +210,7 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     sac: dict = None            # dict() enables SAConv (DetectoRS)
     stage_with_sac: Tuple[bool, ...] = (False, False, False, False)
+    zero_init_residual: bool = False   # gamma=0 on each block's last norm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,6 +257,7 @@ class ResNet(nn.Module):
                               avg_down=self.avg_down,
                               conv_cfg=self.conv_cfg,
                               norm_cfg=self.norm_cfg,
+                              zero_init_final=self.zero_init_residual,
                               name=f'layer{stage+1}_{b}')
                 if block_cls is Bottleneck:
                     kwargs['dilation'] = dilation

@@ -284,8 +284,17 @@ class CascadeSABLRoIHead(CascadeRoIHead):
             SABLBBoxHeadNet(
                 num_classes=self.num_classes, side_num=c.side_num,
                 fc_dim=(bh or {}).get('cls_out_channels', 1024),
-                conv_dim=(bh or {}).get('reg_cls_out_channels', 256),
-                roi_size=self.roi_size)
+                conv_dim=(bh or {}).get('reg_in_channels', 256),
+                roi_size=self.roi_size,
+                reg_feat_up_ratio=(bh or {}).get('reg_feat_up_ratio', 2),
+                reg_pre_num=(bh or {}).get('reg_pre_num', 2),
+                reg_post_num=(bh or {}).get('reg_post_num', 1),
+                num_cls_fcs=(bh or {}).get('num_cls_fcs', 1),
+                num_reg_fcs=(bh or {}).get('num_reg_fcs', 0),
+                reg_offset_out_channels=(bh or {}).get(
+                    'reg_offset_out_channels', 256),
+                reg_cls_out_channels=(bh or {}).get(
+                    'reg_cls_out_channels', 256))
             for c, bh in zip(self.coders, bhs)
         ]
         self.net = self.nets[0]

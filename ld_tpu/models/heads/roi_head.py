@@ -17,6 +17,7 @@ from typing import Dict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ld_tpu.ops import MaxIoUAssigner
 from ld_tpu.ops.coder import build_coder
@@ -520,44 +521,131 @@ class StandardRoIHead:
 
 
 class SABLBBoxHeadNet(nn.Module):
-    """SABL two-stage bbox head (reference roi_heads/bbox_heads/
-    sabl_head.py SABLHead): class branch (2 FCs) + side-aware reg branch
-    (conv, FC) emitting per-side bucket classification logits and in-bucket
-    fine offsets. This compact TPU version keeps the head's two outputs
-    (bucket cls 4*side_num, offsets 4*side_num) with a shared reg trunk
-    instead of the reference's per-axis squeeze convolutions."""
+    """SABL two-stage bbox head, side-aware tower included.
+
+    Parity: /root/reference/mmdet/models/roi_heads/bbox_heads/sabl_head.py:55
+    — cls branch (num_cls_fcs FCs over the flattened roi); reg branch:
+    reg_pre_num 3x3 convs -> per-axis attention pooling (1x1 conv + sigmoid,
+    normalized over the pooled axis) -> reg_post_num 1-D convs along the
+    kept axis -> ConvTranspose upsample by reg_feat_up_ratio so each spatial
+    position maps 1:1 onto a bucket (roi_size * ratio == num_buckets) ->
+    shared per-position Dense predictors -> side-aware split (left half
+    kept, right half flipped) giving (l, r) x-buckets then (t, d) y-buckets
+    — the same side order as BucketingBBoxCoder.encode."""
     num_classes: int
     side_num: int
-    fc_dim: int = 1024
-    conv_dim: int = 256
+    fc_dim: int = 1024            # cls_out_channels
+    conv_dim: int = 256           # reg_in_channels
     roi_size: int = 7
+    reg_feat_up_ratio: int = 2
+    reg_pre_num: int = 2
+    reg_post_num: int = 1
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 0
+    reg_offset_out_channels: int = 256
+    reg_cls_out_channels: int = 256
     dtype: jnp.dtype = jnp.float32
+
+    def _side_split(self, feat):
+        # reference sabl_head.py:268 side_aware_split: left half as-is,
+        # right half flipped so both sides index buckets inside-out
+        up = self.roi_size * self.reg_feat_up_ratio
+        l_end = int(np.ceil(up / 2))
+        r_start = int(np.floor(up / 2))
+        return jnp.concatenate(
+            [feat[:, :l_end], feat[:, r_start:][:, ::-1]], axis=-1)
 
     @nn.compact
     def __call__(self, roi_feats):
         r = roi_feats.shape[0]
-        x = roi_feats.reshape(r, -1)
-        c = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
-                             name='cls_fc1')(x))
-        c = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
-                             name='cls_fc2')(c))
+        c = roi_feats.reshape(r, -1)
+        for i in range(self.num_cls_fcs):
+            c = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                                 name=f'cls_fc{i + 1}')(c))
         cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                        kernel_init=nn.initializers.normal(0.01),
                        name='fc_cls')(c)
-        g = nn.relu(nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name='reg_conv')(roi_feats))
-        g = g.reshape(r, -1)
-        g = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
-                             name='reg_fc1')(g))
-        bucket_cls = nn.Dense(4 * self.side_num, dtype=self.dtype,
-                              kernel_init=nn.initializers.normal(0.01),
-                              name='fc_reg_cls')(g)
-        bucket_off = nn.Dense(4 * self.side_num, dtype=self.dtype,
-                              kernel_init=nn.initializers.normal(0.001),
-                              name='fc_reg_off')(g)
+
+        g = roi_feats
+        for i in range(self.reg_pre_num):
+            g = nn.relu(nn.Conv(self.conv_dim, (3, 3),
+                                padding=[(1, 1)] * 2, dtype=self.dtype,
+                                name=f'reg_pre_conv{i}')(g))
+        # attention pooling (reference attention_pool): fx pools over H
+        # (per-column features), fy pools over W (per-row features)
+        att_x = jax.nn.sigmoid(nn.Conv(
+            1, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            name='reg_conv_att_x')(g))
+        att_y = jax.nn.sigmoid(nn.Conv(
+            1, (1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            name='reg_conv_att_y')(g))
+        att_x = att_x / att_x.sum(axis=1, keepdims=True)
+        att_y = att_y / att_y.sum(axis=2, keepdims=True)
+        fx = (g * att_x).sum(axis=1)              # (R, W, C)
+        fy = (g * att_y).sum(axis=2)              # (R, H, C)
+        for i in range(self.reg_post_num):
+            fx = nn.relu(nn.Conv(self.conv_dim, (3,), padding=[(1, 1)],
+                                 dtype=self.dtype,
+                                 name=f'reg_post_conv_x{i}')(fx))
+            fy = nn.relu(nn.Conv(self.conv_dim, (3,), padding=[(1, 1)],
+                                 dtype=self.dtype,
+                                 name=f'reg_post_conv_y{i}')(fy))
+        if self.reg_feat_up_ratio > 1:
+            k = (self.reg_feat_up_ratio,)
+            fx = nn.relu(nn.ConvTranspose(self.conv_dim, k, strides=k,
+                                          dtype=self.dtype,
+                                          name='upsample_x')(fx))
+            fy = nn.relu(nn.ConvTranspose(self.conv_dim, k, strides=k,
+                                          dtype=self.dtype,
+                                          name='upsample_y')(fy))
+
+        # per-position predictors, SHARED across the x and y axes
+        # (reference reg_pred uses the same fc_reg_cls/fc_reg_offset)
+        off_fcs = [nn.Dense(self.reg_offset_out_channels, dtype=self.dtype,
+                            name=f'reg_offset_fc{i + 1}')
+                   for i in range(self.num_reg_fcs)]
+        cls_fcs = [nn.Dense(self.reg_cls_out_channels, dtype=self.dtype,
+                            name=f'reg_cls_fc{i + 1}')
+                   for i in range(self.num_reg_fcs)]
+        fc_off = nn.Dense(1, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.001),
+                          name='fc_reg_offset')
+        fc_cls = nn.Dense(1, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name='fc_reg_cls')
+
+        def reg_pred(f):
+            xo, xc = f, f
+            for fc in off_fcs:
+                xo = nn.relu(fc(xo))
+            for fc in cls_fcs:
+                xc = nn.relu(fc(xc))
+            return fc_off(xo)[..., 0], fc_cls(xc)[..., 0]   # (R, up)
+
+        off_x, cls_x = reg_pred(fx)
+        off_y, cls_y = reg_pred(fy)
+        bucket_off = jnp.concatenate(
+            [self._side_split(off_x), self._side_split(off_y)], axis=-1)
+        bucket_cls = jnp.concatenate(
+            [self._side_split(cls_x), self._side_split(cls_y)], axis=-1)
         return (cls.astype(jnp.float32),
                 (bucket_cls.astype(jnp.float32),
                  bucket_off.astype(jnp.float32)))
+
+
+@HEADS.register_module()
+class TridentRoIHead(StandardRoIHead):
+    """Trident ROI head (reference trident_roi_head.py): the reference
+    merges three branches' proposals here; in this stack the branch fold
+    (B -> 3B) and test-branch slicing live in TridentFasterRCNN, so this
+    head only carries the config knobs."""
+
+    def __init__(self, num_branch=3, test_branch_idx=1, **kwargs):
+        self.num_branch = num_branch
+        self.test_branch_idx = test_branch_idx
+        super().__init__(**kwargs)
 
 
 @HEADS.register_module()
@@ -585,9 +673,19 @@ class SABLRoIHead(StandardRoIHead):
                 type='SmoothL1Loss', beta=0.1, loss_weight=1.0))
         self.net = SABLBBoxHeadNet(
             num_classes=self.num_classes, side_num=self.coder.side_num,
-            fc_dim=bbox_head.get('fc_out_channels', 1024),
-            conv_dim=bbox_head.get('conv_out_channels', 256),
-            roi_size=self.roi_size)
+            fc_dim=bbox_head.get('cls_out_channels',
+                                 bbox_head.get('fc_out_channels', 1024)),
+            conv_dim=bbox_head.get('reg_in_channels',
+                                   bbox_head.get('conv_out_channels', 256)),
+            roi_size=self.roi_size,
+            reg_feat_up_ratio=bbox_head.get('reg_feat_up_ratio', 2),
+            reg_pre_num=bbox_head.get('reg_pre_num', 2),
+            reg_post_num=bbox_head.get('reg_post_num', 1),
+            num_cls_fcs=bbox_head.get('num_cls_fcs', 1),
+            num_reg_fcs=bbox_head.get('num_reg_fcs', 0),
+            reg_offset_out_channels=bbox_head.get(
+                'reg_offset_out_channels', 256),
+            reg_cls_out_channels=bbox_head.get('reg_cls_out_channels', 256))
 
     def _encode_roi_targets(self, rois, matched_gt):
         # bucketing encode happens in forward_train against the full roi

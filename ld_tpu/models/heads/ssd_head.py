@@ -83,6 +83,26 @@ class SSDAnchorGenerator(AnchorGenerator):
         return np.asarray(anchors, np.float32)
 
 
+class LegacySSDAnchorGenerator(SSDAnchorGenerator):
+    """mmdet-1.x SSD anchors: centers at (stride-1)/2 instead of stride/2.
+
+    Parity: /root/reference/mmdet/core/anchor/anchor_generator.py:573
+    (LegacySSDAnchorGenerator) — used by configs/legacy_1.x/ssd300_coco_v1.
+    """
+
+    def __init__(self, strides, ratios, input_size=300,
+                 basesize_ratio_range=(0.15, 0.9), **kwargs):
+        super().__init__(strides, ratios, input_size=input_size,
+                         basesize_ratio_range=basesize_ratio_range,
+                         **kwargs)
+        self.centers = [((s[0] - 1) / 2.0, (s[1] - 1) / 2.0)
+                        for s in self.strides]
+        self.base_anchors = [
+            self._ssd_level_anchors(lvl)
+            for lvl in range(len(self.strides))
+        ]
+
+
 class SSDHeadNet(nn.Module):
     num_classes: int
     num_anchors: Sequence[int]
@@ -116,9 +136,11 @@ class SSDHead:
             strides=[8, 16, 32, 64, 100, 300],
             ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
             input_size=300, basesize_ratio_range=(0.15, 0.9)))
-        ag.pop('type', None)
+        ag_type = ag.pop('type', 'SSDAnchorGenerator')
         ag.pop('scale_major', None)
-        self.anchor_generator = SSDAnchorGenerator(**ag)
+        ag_cls = (LegacySSDAnchorGenerator if ag_type.startswith('Legacy')
+                  else SSDAnchorGenerator)
+        self.anchor_generator = ag_cls(**ag)
         self.num_levels = self.anchor_generator.num_levels
         self.coder = build_coder(bbox_coder or dict(
             type='DeltaXYWHBBoxCoder', target_means=[0., 0., 0., 0.],

@@ -91,25 +91,32 @@ class GroupNormLayer(nn.Module):
     """GN with the uniform (x, train) call signature used by block code."""
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False   # gamma=0 (zero_init_residual blocks)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = min(self.num_groups, x.shape[-1])
         return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype,
+                            scale_init=(nn.initializers.zeros
+                                        if self.zero_init
+                                        else nn.initializers.ones),
                             name='gn')(x)
 
 
 def make_norm(norm_cfg, *, use_running_average=True, name=None,
-              dtype=jnp.float32):
+              dtype=jnp.float32, zero_init=False):
     """build_norm_layer equivalent with uniform (x, train) call signature.
 
     BN/SyncBN -> detection-semantics BatchNorm (frozen stats unless the
     caller passes use_running_average=False); GN -> GroupNormLayer.
+    `zero_init` zero-inits gamma (the reference's zero_init_residual on the
+    last norm of each residual block).
     """
     t = (norm_cfg or {}).get('type', 'BN')
     if t == 'GN':
         return GroupNormLayer(num_groups=(norm_cfg or {}).get(
-            'num_groups', 32), name=name, dtype=dtype)
+            'num_groups', 32), name=name, dtype=dtype,
+            zero_init=zero_init)
     from ld_tpu.models.backbones.resnet import BatchNorm
     return BatchNorm(use_running_average=use_running_average, name=name,
-                     dtype=dtype)
+                     dtype=dtype, zero_init=zero_init)

@@ -284,3 +284,50 @@ def test_legacy_delta_coder():
     # corners return 0.5px outward: decode omits the +-0.5 of the true
     # legacy coder (reference legacy_delta_xywh_bbox_coder.py:203 note)
     np.testing.assert_allclose(back, [[11.5, 7.5, 48.5, 36.5]], atol=1e-3)
+
+
+def test_random_crop_absolute_range_and_masks():
+    # reference transforms.py:700 absolute_range: crop h,w each uniform in
+    # [min(crop_size), max(crop_size)] clamped to the image
+    from ld_tpu.data.transforms import RandomCrop
+    np.random.seed(0)
+    for _ in range(10):
+        s = _sample(500, 700)
+        s['gt_masks'] = [np.ones((500, 700), np.uint8)]
+        c = RandomCrop(crop_size=(384, 600), crop_type='absolute_range',
+                       allow_negative_crop=True)
+        out = c(s)
+        h, w = out['img'].shape[:2]
+        assert 384 <= h <= 500 and 384 <= w <= 600
+        # masks cropped in lock-step with the image
+        assert all(m.shape == (h, w) for m in out['gt_masks'])
+        assert len(out['gt_masks']) == len(out['gt_bboxes'])
+
+
+def test_resize_override_resamples():
+    # DETR double-resize (reference transforms.py:186): a Resize with
+    # override=True ignores an explicit results['scale'] and resamples
+    s = _sample(100, 150)
+    s['scale'] = (50, 50)
+    out = Resize(img_scale=(1333, 800), keep_ratio=True, override=True)(s)
+    assert out['img'].shape[:2] == (800, 1200)   # not the 50x50 scale
+    s2 = _sample(100, 150)
+    s2['scale'] = (60, 40)
+    out2 = Resize(img_scale=(1333, 800), keep_ratio=True)(s2)
+    assert max(out2['img'].shape[:2]) <= 60      # honored without override
+
+
+def test_detr_autoaugment_pipeline_runs():
+    # the shipped DETR train aug: resize OR resize->crop->re-resize(override)
+    from ld_tpu.utils.config import Config
+    cfg = Config.fromfile('configs/detr/detr_r50_8x2_150e_coco.py')
+    pipe = Compose(cfg['data']['train']['pipeline'][2:])  # skip Load* stages
+    np.random.seed(1)
+    shapes = set()
+    for _ in range(8):
+        out = pipe(_sample(480, 640))
+        if out is None:
+            continue
+        shapes.add(out['img'].shape[:2])
+        assert out['img'].shape[2] == 3
+    assert len(shapes) > 1   # multi-scale actually varies

@@ -228,3 +228,25 @@ def test_sabl_roi_head_with_mask():
                                    img_hw=batch['img_hw'],
                                    scale_factor=jnp.ones((1, 4))))
     assert len(out) == 4  # dets, labels, valid, masks
+
+
+def test_sabl_bbox_head_tower_structure():
+    """The reference side-aware tower (sabl_head.py:121-131): upsample_x/y
+    ConvTranspose params exist, per-position predictors are shared across
+    axes, and output stays (R, 4*side_num)."""
+    import jax
+    import jax.numpy as jnp
+    from ld_tpu.models.heads.roi_head import SABLBBoxHeadNet
+
+    net = SABLBBoxHeadNet(num_classes=4, side_num=7, roi_size=7,
+                          reg_feat_up_ratio=2)
+    feats = jnp.ones((3, 7, 7, 256))
+    vars_ = net.init(jax.random.PRNGKey(0), feats)
+    names = set(vars_['params'])
+    assert {'upsample_x', 'upsample_y', 'reg_conv_att_x', 'reg_conv_att_y',
+            'reg_pre_conv0', 'reg_pre_conv1', 'reg_post_conv_x0',
+            'reg_post_conv_y0', 'fc_reg_offset', 'fc_reg_cls'} <= names
+    # shared per-position predictor: one fc_reg_offset, C->1
+    assert vars_['params']['fc_reg_offset']['kernel'].shape == (256, 1)
+    cls, (bc, bo) = net.apply(vars_, feats)
+    assert cls.shape == (3, 5) and bc.shape == (3, 28) and bo.shape == (3, 28)
