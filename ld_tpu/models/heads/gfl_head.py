@@ -299,17 +299,21 @@ class GFLHead:
 
         def decode_level(cls, pred, anchors, stride, hw):
             scores = cls.reshape(-1, self.cls_out_channels)
-            if self.use_sigmoid_cls:
-                scores = jax.nn.sigmoid(scores)
-            dist = integral(pred.reshape(-1, 4 * (self.reg_max + 1)),
-                            self.reg_max) * stride
+            pred = pred.reshape(-1, 4 * (self.reg_max + 1))
             n = scores.shape[0]
             if nms_pre > 0 and n > nms_pre:
+                # top-k BEFORE sigmoid/integral: sigmoid is monotonic, so
+                # ranking raw logits picks the same nms_pre set, and the
+                # integral softmax then runs on nms_pre rows instead of
+                # every anchor of the level
                 max_scores = scores.max(axis=-1)
                 _, topk = topk_flat(max_scores, nms_pre)
                 scores = scores[topk]
-                dist = dist[topk]
+                pred = pred[topk]
                 anchors = anchors[topk]
+            if self.use_sigmoid_cls:
+                scores = jax.nn.sigmoid(scores)
+            dist = integral(pred, self.reg_max) * stride
             boxes = distance2bbox(anchor_center(anchors), dist, max_shape=hw)
             return boxes, scores
 

@@ -28,18 +28,27 @@ H, W = 800, 1344
 def timed_scan(fn, x, iters):
     """Scan fn iters times on-device; return seconds per call."""
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1, ))
     def loop(x, n_dummy):
         def body(carry, _):
             out = fn(carry)
-            # feed something back so the loop cannot be collapsed
-            return carry, jax.tree_util.tree_map(
-                lambda t: t.reshape(-1)[0].astype(jnp.float32), out)
+            # data-dependence between iterations: perturb the first input
+            # leaf by an invisible function of the output, else XLA hoists
+            # the loop-invariant fn(carry) out of the scan entirely
+            probe = sum(t.reshape(-1)[0].astype(jnp.float32)
+                        for t in jax.tree_util.tree_leaves(out))
+            leaves, treedef = jax.tree_util.tree_flatten(carry)
+            leaves = [leaves[0] + (probe * 1e-30).astype(leaves[0].dtype)
+                      ] + leaves[1:]
+            return jax.tree_util.tree_unflatten(treedef, leaves), probe
         _, outs = jax.lax.scan(body, x, None, length=n_dummy)
-        return jax.tree_util.tree_map(lambda t: t.sum(), outs)
+        return outs.sum()
 
     def run(n):
         r = loop(x, n)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])   # sync warmup/compile
         start = time.perf_counter()
         r = loop(x, n)
         np.asarray(jax.tree_util.tree_leaves(r)[0])
@@ -87,7 +96,7 @@ def main():
     def neck_head(fs):
         nv = {'params': variables['params']['neck']}
         ns = det.neck.apply(nv, fs)
-        hv = {'params': variables['params']['bbox_head']}
+        hv = {'params': variables['params']['head_net']}
         return det.bbox_head.net.apply(hv, ns)
 
     outs = neck_head(feats)
