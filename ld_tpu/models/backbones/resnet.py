@@ -228,7 +228,14 @@ class ResNet(nn.Module):
                           f'stem_norm{i+1}', self.dtype)(x, train)
                 x = nn.relu(x)
         else:
-            x = _conv(64, 7, 2, 'conv1', self.dtype, self.conv_cfg)(x)
+            if (self.conv_cfg or {}).get('type', 'Conv') == 'Conv':
+                # space-to-depth stem: same params ('conv1/kernel',
+                # (7,7,3,64)), ~1.5x faster full stem on TPU at detection
+                # resolutions (layers.SpaceToDepthStem docstring)
+                from ld_tpu.models.layers import SpaceToDepthStem
+                x = SpaceToDepthStem(64, dtype=self.dtype, name='conv1')(x)
+            else:
+                x = _conv(64, 7, 2, 'conv1', self.dtype, self.conv_cfg)(x)
             x = _norm(self.norm_cfg, stem_eval, 'norm1',
                       self.dtype)(x, train)
             x = nn.relu(x)

@@ -331,3 +331,28 @@ def test_detr_autoaugment_pipeline_runs():
         shapes.add(out['img'].shape[:2])
         assert out['img'].shape[2] == 3
     assert len(shapes) > 1   # multi-scale actually varies
+
+
+def test_perimage_mstrain_base_config():
+    """The AP-parity mstrain base (configs/_base_/mstrain_480_800_perimage)
+    keeps the reference's PER-IMAGE range sampling: no batch_scales, a
+    range-mode FusedPreprocess, and varied short sides across images."""
+    import os
+    from ld_tpu import Config
+    root = os.path.join(os.path.dirname(__file__), '..')
+    cfg = Config.fromfile(os.path.join(
+        root, 'configs/gfl/gfl_r50_fpn_mstrain_2x_coco_perimage.py'))
+    assert cfg.get('batch_scales') is None
+    steps = {d['type']: d for d in cfg.data['train']['pipeline']}
+    fp = steps['FusedPreprocess']
+    assert fp['multiscale_mode'] == 'range'
+    assert [tuple(s) for s in fp['img_scale']] == [(1333, 480), (1333, 800)]
+    assert len(cfg.pad_to) == 12
+
+    from ld_tpu.data.transforms import Resize
+    sampler = Resize(img_scale=[tuple(s) for s in fp['img_scale']],
+                     multiscale_mode='range')
+    np.random.seed(0)
+    shorts = {min(sampler._sample_scale()) for _ in range(64)}
+    assert len(shorts) > 10                       # per-image variety
+    assert all(480 <= s <= 800 for s in shorts)   # reference range

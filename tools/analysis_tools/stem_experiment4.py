@@ -1,0 +1,159 @@
+"""Stem deep-dive round 4: fused full-stem variants.
+
+  i2. full stem with bf16-first TRANSPOSE s2d (a2) fused
+  m.  s2d done by an identity 2x2/s2 conv (MXU as the data mover), then 4x4
+  c2. im2col on the raw input via lax.conv_general_dilated_patches + matmul
+  h.  direct full stem (baseline)
+All end with scale+relu (bf16) + 3x3/2 maxpool, like the real stem block.
+"""
+import os
+import sys
+import time
+import functools
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ld_tpu.utils.profiling import setup_jax_cache
+
+H, W = 800, 1344
+
+
+def timed_scan(fn, x, iters=32):
+
+    @functools.partial(jax.jit, static_argnums=(1, ))
+    def loop(x, n):
+        def body(carry, _):
+            out = fn(carry)
+            probe = out.reshape(-1)[0].astype(jnp.float32)
+            return carry + (probe * 1e-30).astype(carry.dtype), probe
+        _, outs = jax.lax.scan(body, x, None, length=n)
+        return outs.sum()
+
+    def run(n):
+        np.asarray(loop(x, n))
+        start = time.perf_counter()
+        r = loop(x, n)
+        np.asarray(r)
+        return time.perf_counter() - start
+
+    t1 = run(iters)
+    t2 = run(3 * iters)
+    return (t2 - t1) / (2 * iters)
+
+
+def main():
+    setup_jax_cache()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    w7 = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05)
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w_s2d = w8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5) \
+        .reshape(4, 4, 12, 64)
+    wb = w_s2d.astype(jnp.bfloat16)
+    w7b = w7.astype(jnp.bfloat16)
+    scale_b = jnp.asarray(rng.rand(64).astype(np.float32)).astype(jnp.bfloat16)
+    bias_b = jnp.asarray(rng.rand(64).astype(np.float32)).astype(jnp.bfloat16)
+
+    def epilogue(y):
+        y = jax.nn.relu(y * scale_b + bias_b)
+        return nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+    dn = jax.lax.conv_dimension_numbers((1, H, W, 3), (7, 7, 3, 64),
+                                        ('NHWC', 'HWIO', 'NHWC'))
+
+    def h_direct(x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w7b, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=dn)
+        return epilogue(y)
+
+    xs_shape = (1, (H + 8) // 2, (W + 8) // 2, 12)
+    dn2 = jax.lax.conv_dimension_numbers(xs_shape, (4, 4, 12, 64),
+                                         ('NHWC', 'HWIO', 'NHWC'))
+
+    def i2_s2d_transpose(x):
+        x = x.astype(jnp.bfloat16)
+        x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(xs, wb, (1, 1), 'VALID',
+                                         dimension_numbers=dn2)
+        y = y[:, :H // 2, :W // 2, :]
+        return epilogue(y)
+
+    # identity 2x2/s2 conv: out channel (i*2+j)*3+c picks tap (i, j, c)
+    eye = np.zeros((2, 2, 3, 12), np.float32)
+    for i in range(2):
+        for j in range(2):
+            for c in range(3):
+                eye[i, j, c, (i * 2 + j) * 3 + c] = 1.0
+    eyeb = jnp.asarray(eye).astype(jnp.bfloat16)
+    dn_eye = jax.lax.conv_dimension_numbers((1, H + 8, W + 8, 3),
+                                            (2, 2, 3, 12),
+                                            ('NHWC', 'HWIO', 'NHWC'))
+
+    def m_s2d_conv(x):
+        x = x.astype(jnp.bfloat16)
+        x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        xs = jax.lax.conv_general_dilated(x, eyeb, (2, 2), 'VALID',
+                                          dimension_numbers=dn_eye)
+        y = jax.lax.conv_general_dilated(xs, wb, (1, 1), 'VALID',
+                                         dimension_numbers=dn2)
+        y = y[:, :H // 2, :W // 2, :]
+        return epilogue(y)
+
+    # conv_general_dilated_patches channel order is (C, kh, kw) —
+    # verify against the (kh, kw, C) alternative via the correctness check
+    w_mat_chw = w7b.transpose(2, 0, 1, 3).reshape(147, 64)
+    w_mat_hwc = w7b.reshape(147, 64)
+    w_mat = w_mat_chw
+
+    def c2_patches(x):
+        p = jax.lax.conv_general_dilated_patches(
+            x.astype(jnp.bfloat16), (7, 7), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=dn)                     # (1, 400, 672, 147)
+        y = jax.lax.dot_general(p.reshape(-1, 147), w_mat,
+                                (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.bfloat16)
+        return epilogue(y.reshape(1, H // 2, W // 2, 64))
+
+    # correctness
+    ref = np.asarray(h_direct(img).astype(jnp.float32))
+    p0 = jax.lax.conv_general_dilated_patches(
+        img.astype(jnp.bfloat16), (7, 7), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=dn)
+    for lbl, wm in [('chw', w_mat_chw), ('hwc', w_mat_hwc)]:
+        y = jax.lax.dot_general(p0.reshape(-1, 147), wm,
+                                (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.bfloat16)
+        y = np.asarray(epilogue(y.reshape(1, H // 2, W // 2, 64))
+                       .astype(jnp.float32))
+        print(f'patches order {lbl}: err {np.abs(y - ref).max():.5f}')
+    for name, fn in [('i2', i2_s2d_transpose), ('m', m_s2d_conv),
+                     ('c2', c2_patches)]:
+        got = np.asarray(fn(img).astype(jnp.float32))
+        print(f'{name} max err vs direct: {np.abs(got - ref).max():.5f}')
+
+    rows = [
+        ('h  direct full stem', h_direct),
+        ('i2 s2d transpose', i2_s2d_transpose),
+        ('m  s2d identity-conv', m_s2d_conv),
+        ('c2 patches+matmul', c2_patches),
+    ]
+    for name, fn in rows:
+        try:
+            ms = timed_scan(fn, img) * 1e3
+            print(f'{name:24s} {ms:7.3f} ms')
+        except Exception as ex:  # noqa: BLE001
+            print(f'{name:24s} FAILED {type(ex).__name__}: {ex}')
+
+
+if __name__ == '__main__':
+    main()
