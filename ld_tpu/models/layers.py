@@ -76,7 +76,7 @@ class SpaceToDepthStem(nn.Module):
     explicit pad/reshape/transpose is 3x slower than this conv), and
     (b) a learned 4x4/s1 conv with contraction dim 192.
     Measured full-stem (conv+BN+relu+maxpool) 1.53 ms vs 2.35 ms direct at
-    800x1344 bf16 on one v5e chip (tools/analysis_tools/stem_experiment4.py);
+    800x1344 bf16 on one v5e chip (tools/analysis_tools/stem_experiment.py);
     bf16-identical up to one ulp (different summation order).
 
     The parameter tree is exactly nn.Conv(features, (7, 7), name=...):

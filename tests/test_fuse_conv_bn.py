@@ -1,0 +1,81 @@
+"""Conv+BN folding (ld_tpu/utils/fuse_conv_bn.py — the reference's
+mmcv.cnn.fuse_conv_bn used by tools/test.py --fuse-conv-bn)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ld_tpu  # noqa: F401  (registries)
+from ld_tpu.models import build_detector
+from ld_tpu.utils.fuse_conv_bn import fuse_conv_bn, fuse_conv_bn_cfg_ok
+
+
+def _detector_cfg():
+    return dict(
+        type='GFL',
+        backbone=dict(type='ResNet', depth=18, frozen_stages=-1,
+                      norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(
+            type='GFLHead', num_classes=4, in_channels=32,
+            stacked_convs=1, feat_channels=32, reg_max=8,
+            anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                                  octave_base_scale=8, scales_per_octave=1,
+                                  strides=[8, 16, 32, 64, 128]),
+            loss_cls=dict(type='QualityFocalLoss', use_sigmoid=True,
+                          beta=2.0, loss_weight=1.0),
+            loss_dfl=dict(type='DistributionFocalLoss', loss_weight=0.25),
+            loss_bbox=dict(type='GIoULoss', loss_weight=2.0)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=10))
+
+
+def test_fused_forward_identical():
+    det = build_detector(_detector_cfg())
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+
+    # make BN stats/affine non-trivial so the fold actually moves numbers
+    def perturb(path, x):
+        name = '/'.join(
+            getattr(p, 'key', getattr(p, 'name', str(p))) for p in path)
+        rs = np.random.RandomState(abs(hash(name)) % (2**31))
+        if name.endswith('mean') or name.endswith('bias'):
+            return x + jnp.asarray(rs.randn(*x.shape).astype(np.float32))
+        if name.endswith('var'):
+            return x * jnp.asarray(
+                (0.5 + rs.rand(*x.shape)).astype(np.float32))
+        if name.endswith('scale'):
+            return x * jnp.asarray(
+                (0.5 + rs.rand(*x.shape)).astype(np.float32))
+        return x
+    variables = jax.tree_util.tree_map_with_path(perturb, variables)
+
+    fused = fuse_conv_bn(variables)
+
+    # the fold must actually have changed kernels (pairs were found)
+    k0 = variables['params']['backbone']['conv1']['kernel']
+    k1 = fused['params']['backbone']['conv1']['kernel']
+    assert not np.allclose(np.asarray(k0), np.asarray(k1))
+    # ... and zeroed the stem BN stats
+    assert np.allclose(
+        np.asarray(fused['batch_stats']['backbone']['norm1']['bn']['mean']),
+        0.0)
+
+    batch = {'image': jnp.asarray(
+        np.random.RandomState(1).randn(2, 64, 96, 3).astype(np.float32)),
+        'img_hw': jnp.asarray([[64., 96.]] * 2)}
+    ref = det.forward_test(variables, batch)
+    got = det.forward_test(fused, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_cfg_gate_rejects_convws():
+    cfg = _detector_cfg()
+    assert fuse_conv_bn_cfg_ok(cfg)
+    cfg['backbone']['conv_cfg'] = dict(type='ConvWS')
+    assert not fuse_conv_bn_cfg_ok(cfg)

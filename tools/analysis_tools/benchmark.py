@@ -30,6 +30,10 @@ def main():
     p.add_argument('--iters', type=int, default=32)
     p.add_argument('--fp32', action='store_true',
                    help='disable bf16 compute')
+    p.add_argument('--fuse-conv-bn', action='store_true',
+                   help='fold conv+BN (reference benchmark.py flag; '
+                        'value-identical — on TPU XLA fuses eval BN '
+                        'anyway, expect ~0 delta)')
     args = p.parse_args()
 
     cfg = Config.fromfile(args.config)
@@ -43,6 +47,13 @@ def main():
     h, w = args.shape
     b = args.batch
     variables = det.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    if args.fuse_conv_bn:
+        from ld_tpu.utils.fuse_conv_bn import (fuse_conv_bn,
+                                               fuse_conv_bn_cfg_ok)
+        if fuse_conv_bn_cfg_ok(cfg.model):
+            variables = fuse_conv_bn(variables)
+        else:
+            print('WARNING: --fuse-conv-bn skipped (ConvWS present)')
     batch = {
         'image': jnp.asarray(np.random.randn(b, h, w, 3).astype(np.float32)),
         'img_hw': jnp.asarray([[h, w]] * b, jnp.float32),

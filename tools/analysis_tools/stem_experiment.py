@@ -1,17 +1,15 @@
-"""Microbenchmark: ResNet stem 7x7/s2 conv vs space-to-depth reformulation.
+"""Stem deep-dive round 4: fused full-stem variants.
 
-The 7x7/s2 conv on a 3-channel image is a classic TPU inefficiency: the
-contraction dim (7*7*3=147) and the tiny input channel count map poorly to
-the MXU. The MLPerf-era fix: pad the kernel to 8x8 (zeros), then the s2 conv
-is EXACTLY a 4x4/s1 conv on the space-to-depth-transformed input
-(H/2, W/2, 12) with rearranged weights. This script measures both on the
-real chip to decide whether to wire it into the backbone.
-
-Usage: python tools/analysis_tools/stem_experiment.py
+  i2. full stem with bf16-first TRANSPOSE s2d (a2) fused
+  m.  s2d done by an identity 2x2/s2 conv (MXU as the data mover), then 4x4
+  c2. im2col on the raw input via lax.conv_general_dilated_patches + matmul
+  h.  direct full stem (baseline)
+All end with scale+relu (bf16) + 3x3/2 maxpool, like the real stem block.
 """
 import os
 import sys
 import time
+import functools
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..', '..'))
@@ -19,6 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 import jax.numpy as jnp
 import numpy as np
+import flax.linen as nn
 
 from ld_tpu.utils.profiling import setup_jax_cache
 
@@ -26,14 +25,12 @@ H, W = 800, 1344
 
 
 def timed_scan(fn, x, iters=32):
-    import functools
 
     @functools.partial(jax.jit, static_argnums=(1, ))
     def loop(x, n):
         def body(carry, _):
             out = fn(carry)
             probe = out.reshape(-1)[0].astype(jnp.float32)
-            # iteration-to-iteration dependence so XLA cannot hoist fn
             return carry + (probe * 1e-30).astype(carry.dtype), probe
         _, outs = jax.lax.scan(body, x, None, length=n)
         return outs.sum()
@@ -55,69 +52,107 @@ def main():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
     w7 = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05)
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w_s2d = w8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5) \
+        .reshape(4, 4, 12, 64)
+    wb = w_s2d.astype(jnp.bfloat16)
+    w7b = w7.astype(jnp.bfloat16)
+    scale_b = jnp.asarray(rng.rand(64).astype(np.float32)).astype(jnp.bfloat16)
+    bias_b = jnp.asarray(rng.rand(64).astype(np.float32)).astype(jnp.bfloat16)
+
+    def epilogue(y):
+        y = jax.nn.relu(y * scale_b + bias_b)
+        return nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
     dn = jax.lax.conv_dimension_numbers((1, H, W, 3), (7, 7, 3, 64),
                                         ('NHWC', 'HWIO', 'NHWC'))
 
-    def stem_direct(x):
+    def h_direct(x):
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), w7.astype(jnp.bfloat16),
-            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            x.astype(jnp.bfloat16), w7b, (2, 2), [(3, 3), (3, 3)],
             dimension_numbers=dn)
-        return y
+        return epilogue(y)
 
-    # space-to-depth: pad kernel 7x7 -> 8x8 (one zero row/col at the FRONT so
-    # that kernel tap (i, j) aligns with pixel offset (i-3, j-3) of the
-    # padded-by-3 input; 8x8/s2 then factors exactly into 2x2 phases)
-    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    # input: pad 3 on top/left like the direct conv's padding=3, plus enough
-    # on the bottom/right to cover the 8x8 window and /2 alignment
-    def s2d(x):
+    xs_shape = (1, (H + 8) // 2, (W + 8) // 2, 12)
+    dn2 = jax.lax.conv_dimension_numbers(xs_shape, (4, 4, 12, 64),
+                                         ('NHWC', 'HWIO', 'NHWC'))
+
+    def i2_s2d_transpose(x):
+        x = x.astype(jnp.bfloat16)
         x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        return x
+        xs = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(xs, wb, (1, 1), 'VALID',
+                                         dimension_numbers=dn2)
+        y = y[:, :H // 2, :W // 2, :]
+        return epilogue(y)
 
-    # kernel in s2d space: (8,8,3,64) -> (4,4,12,64) with matching phase order
-    w_s2d = w8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5) \
-        .reshape(4, 4, 12, 64)
-    dn2 = jax.lax.conv_dimension_numbers((1, (H + 8) // 2, (W + 8) // 2, 12),
-                                         (4, 4, 12, 64),
-                                         ('NHWC', 'HWIO', 'NHWC'))
+    # identity 2x2/s2 conv: out channel (i*2+j)*3+c picks tap (i, j, c)
+    eye = np.zeros((2, 2, 3, 12), np.float32)
+    for i in range(2):
+        for j in range(2):
+            for c in range(3):
+                eye[i, j, c, (i * 2 + j) * 3 + c] = 1.0
+    eyeb = jnp.asarray(eye).astype(jnp.bfloat16)
+    dn_eye = jax.lax.conv_dimension_numbers((1, H + 8, W + 8, 3),
+                                            (2, 2, 3, 12),
+                                            ('NHWC', 'HWIO', 'NHWC'))
 
-    def stem_s2d(x):
-        xs = s2d(x)
-        y = jax.lax.conv_general_dilated(
-            xs.astype(jnp.bfloat16), w_s2d.astype(jnp.bfloat16),
-            window_strides=(1, 1), padding='VALID',
-            dimension_numbers=dn2)
-        return y
+    def m_s2d_conv(x):
+        x = x.astype(jnp.bfloat16)
+        x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        xs = jax.lax.conv_general_dilated(x, eyeb, (2, 2), 'VALID',
+                                          dimension_numbers=dn_eye)
+        y = jax.lax.conv_general_dilated(xs, wb, (1, 1), 'VALID',
+                                         dimension_numbers=dn2)
+        y = y[:, :H // 2, :W // 2, :]
+        return epilogue(y)
 
-    # correctness: compare fp32 versions
-    def f32(fn, x):
-        return np.asarray(fn(x).astype(jnp.float32))
+    # conv_general_dilated_patches channel order is (C, kh, kw) —
+    # verify against the (kh, kw, C) alternative via the correctness check
+    w_mat_chw = w7b.transpose(2, 0, 1, 3).reshape(147, 64)
+    w_mat_hwc = w7b.reshape(147, 64)
+    w_mat = w_mat_chw
 
-    y_direct = np.asarray(jax.lax.conv_general_dilated(
-        img, w7, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn))
-    x_pad = jnp.pad(img, ((0, 0), (4, 4), (4, 4), (0, 0)))
-    b, h, w, c = x_pad.shape
-    xs = x_pad.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-    y_s2d = np.asarray(jax.lax.conv_general_dilated(
-        xs, w_s2d, (1, 1), 'VALID', dimension_numbers=dn2))
-    # alignment: direct output pixel (i, j) reads input rows 2i-3..2i+3;
-    # s2d output pixel (p, q) reads padded rows 2p-4..2p+3 => same when the
-    # window starts line up; crop to the common region
-    print('direct out', y_direct.shape, 's2d out', y_s2d.shape)
-    crop = y_s2d[:, :y_direct.shape[1], :y_direct.shape[2], :]
-    err = np.abs(crop - y_direct).max()
-    print('max abs err (fp32):', err)
+    def c2_patches(x):
+        p = jax.lax.conv_general_dilated_patches(
+            x.astype(jnp.bfloat16), (7, 7), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=dn)                     # (1, 400, 672, 147)
+        y = jax.lax.dot_general(p.reshape(-1, 147), w_mat,
+                                (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.bfloat16)
+        return epilogue(y.reshape(1, H // 2, W // 2, 64))
 
-    t_direct = timed_scan(stem_direct, img) * 1e3
-    t_s2d = timed_scan(stem_s2d, img) * 1e3
-    print(f'direct 7x7/s2 : {t_direct:7.3f} ms')
-    print(f's2d 4x4/s1    : {t_s2d:7.3f} ms')
+    # correctness
+    ref = np.asarray(h_direct(img).astype(jnp.float32))
+    p0 = jax.lax.conv_general_dilated_patches(
+        img.astype(jnp.bfloat16), (7, 7), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=dn)
+    for lbl, wm in [('chw', w_mat_chw), ('hwc', w_mat_hwc)]:
+        y = jax.lax.dot_general(p0.reshape(-1, 147), wm,
+                                (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.bfloat16)
+        y = np.asarray(epilogue(y.reshape(1, H // 2, W // 2, 64))
+                       .astype(jnp.float32))
+        print(f'patches order {lbl}: err {np.abs(y - ref).max():.5f}')
+    for name, fn in [('i2', i2_s2d_transpose), ('m', m_s2d_conv),
+                     ('c2', c2_patches)]:
+        got = np.asarray(fn(img).astype(jnp.float32))
+        print(f'{name} max err vs direct: {np.abs(got - ref).max():.5f}')
+
+    rows = [
+        ('h  direct full stem', h_direct),
+        ('i2 s2d transpose', i2_s2d_transpose),
+        ('m  s2d identity-conv', m_s2d_conv),
+        ('c2 patches+matmul', c2_patches),
+    ]
+    for name, fn in rows:
+        try:
+            ms = timed_scan(fn, img) * 1e3
+            print(f'{name:24s} {ms:7.3f} ms')
+        except Exception as ex:  # noqa: BLE001
+            print(f'{name:24s} FAILED {type(ex).__name__}: {ex}')
 
 
 if __name__ == '__main__':

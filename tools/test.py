@@ -67,10 +67,23 @@ def main():
                         '(reference dense_test_mixins.aug_test_bboxes)')
     p.add_argument('--aug-scales', type=int, nargs='+', default=None,
                    help='flat (long short)xN list, e.g. 1333 640 1333 800')
+    p.add_argument('--fuse-conv-bn', action='store_true',
+                   help='fold conv+BN algebraically (reference '
+                        'tools/test.py --fuse-conv-bn; value-identical, '
+                        'and on TPU XLA fuses eval BN anyway)')
     args = p.parse_args()
 
     cfg = Config.fromfile(args.config)
     detector, variables = init_detector(cfg, args.checkpoint)
+    if args.fuse_conv_bn:
+        from ld_tpu.utils.fuse_conv_bn import (fuse_conv_bn,
+                                               fuse_conv_bn_cfg_ok)
+        if fuse_conv_bn_cfg_ok(cfg.model):
+            variables = fuse_conv_bn(variables)
+        else:
+            print('WARNING: --fuse-conv-bn skipped: ConvWS conv_cfg '
+                  'present (weight standardization renormalizes the '
+                  'kernel, the fold would be wrong)')
     dataset = build_dataset(cfg.data['test'])
     if args.aug_test:
         results = _aug_test_all(cfg, detector, variables, dataset,
