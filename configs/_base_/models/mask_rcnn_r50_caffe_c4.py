@@ -1,11 +1,11 @@
-# Parity: /root/reference/configs/_base_/models/faster_rcnn_r50_caffe_c4.py
-# C4: 3-stage caffe-style ResNet, single stride-16 level, no FPN. ROIs are
-# pooled at 14x14 from C4 and routed through a weight-shared res5 stage
-# (shared_head=ResLayer), then a plain avg-pooled BBoxHead — the original
-# Faster R-CNN protocol.
+# Parity: /root/reference/configs/_base_/models/mask_rcnn_r50_caffe_c4.py
+# C4 Mask R-CNN: bbox AND mask branches share the res5 head; the mask
+# branch has no extractor of its own (mask_roi_extractor=None) — it pools
+# 14x14 from C4, runs res5 (-> 7x7x2048), then a conv-free FCN mask head
+# whose deconv upsamples back to 14x14.
 norm_cfg = dict(type='BN', requires_grad=False)
 model = dict(
-    type='FasterRCNN',
+    type='MaskRCNN',
     pretrained='open-mmlab://detectron2/resnet50_caffe',
     backbone=dict(type='ResNet', depth=50, num_stages=3,
                   strides=(1, 2, 2), dilations=(1, 1, 1),
@@ -27,7 +27,10 @@ model = dict(
                            sampling_ratio=0),
             out_channels=1024, featmap_strides=[16]),
         bbox_head=dict(type='BBoxHead', with_avg_pool=True,
-                       roi_feat_size=7, in_channels=2048, num_classes=80)),
+                       roi_feat_size=7, in_channels=2048, num_classes=80),
+        mask_roi_extractor=None,
+        mask_head=dict(type='FCNMaskHead', num_convs=0, in_channels=2048,
+                       conv_out_channels=256, num_classes=80)),
     train_cfg=dict(
         rpn=dict(sampler=dict(num=256, pos_fraction=0.5,
                               add_gt_as_proposals=False),
@@ -35,9 +38,10 @@ model = dict(
         rpn_proposal=dict(nms_pre=12000, max_per_img=2000,
                           nms=dict(type='nms', iou_threshold=0.7)),
         rcnn=dict(sampler=dict(num=512, pos_fraction=0.25,
-                               add_gt_as_proposals=True))),
+                               add_gt_as_proposals=True),
+                  mask_size=14)),
     test_cfg=dict(
         rpn=dict(nms_pre=6000, max_per_img=1000,
                  nms=dict(type='nms', iou_threshold=0.7)),
         rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
-                  max_per_img=100)))
+                  max_per_img=100, mask_thr_binary=0.5)))

@@ -1,0 +1,16 @@
+# SSD512. Parity: /root/reference/configs/ssd/ssd512_coco.py — 7 levels
+# (the VGG extras grow one stride-2 pair plus a final 4x4 conv), COCO
+# basesize ratios 0.1-0.9 with the hard-coded 4%/10% first level.
+_base_ = 'ssd300_coco.py'
+input_size = 512
+model = dict(
+    backbone=dict(input_size=input_size),
+    bbox_head=dict(
+        in_channels=(512, 1024, 512, 256, 256, 256, 256),
+        anchor_generator=dict(
+            type='SSDAnchorGenerator',
+            input_size=input_size,
+            basesize_ratio_range=(0.1, 0.9),
+            strides=[8, 16, 32, 64, 128, 256, 512],
+            ratios=[[2], [2, 3], [2, 3], [2, 3], [2, 3], [2], [2]])))
+pad_to = (512, 512)

@@ -63,11 +63,19 @@ class SSDVGG(nn.Module):
                             kernel_dilation=(6, 6), dtype=d, name='fc6')(x))
         fc7 = nn.relu(nn.Conv(1024, (1, 1), dtype=d, name='fc7')(x))
 
-        # extra layers: 1x1 squeeze + 3x3/2 (or valid) expand
+        # extra layers: 1x1 squeeze + 3x3/2 (or valid) expand.
+        # 300: strides [2,2,v,v] -> 4 extra levels (6 total);
+        # 512: strides [2,2,2,2] + a final 4x4 pad-1 conv collapsing the
+        # 2x2 map to 1x1 -> 5 extra levels (7 total) — reference
+        # backbones/ssd_vgg.py extra_setting + the input_size==512 branch.
         outs = [conv4_3, fc7]
         x = fc7
-        extra_cfg = [(256, 512, 2), (128, 256, 2), (128, 256, 1),
-                     (128, 256, 1)]
+        if self.input_size == 512:
+            extra_cfg = [(256, 512, 2), (128, 256, 2), (128, 256, 2),
+                         (128, 256, 2)]
+        else:
+            extra_cfg = [(256, 512, 2), (128, 256, 2), (128, 256, 1),
+                         (128, 256, 1)]
         for i, (sq, ex, stride) in enumerate(extra_cfg):
             x = nn.relu(nn.Conv(sq, (1, 1), dtype=d,
                                 name=f'extra{i}_1')(x))
@@ -75,6 +83,11 @@ class SSDVGG(nn.Module):
             x = nn.relu(nn.Conv(ex, (3, 3), strides=(stride, stride),
                                 padding=pad, dtype=d,
                                 name=f'extra{i}_2')(x))
+            outs.append(x)
+        if self.input_size == 512:
+            x = nn.relu(nn.Conv(128, (1, 1), dtype=d, name='extra4_1')(x))
+            x = nn.relu(nn.Conv(256, (4, 4), padding=[(1, 1)] * 2, dtype=d,
+                                name='extra4_2')(x))
             outs.append(x)
         return tuple(outs)
 

@@ -76,8 +76,10 @@ class TwoStageDetector:
         r1, r2 = jax.random.split(rng)
         backbone_vars = self.net.init(r1, jnp.zeros(input_shape))
         # ROI nets initialized with dummy roi batches (channel count from
-        # the neck; 256 is the mmdet default when there is no neck)
-        c = getattr(self.neck, 'out_channels', 256) if self.neck else 256
+        # the extractor's out_channels when given — C4 configs pool raw
+        # 1024-ch backbone features — else from the neck)
+        c = getattr(self.roi_head, 'ext_channels', None) or \
+            (getattr(self.neck, 'out_channels', 256) if self.neck else 256)
         r2, r3 = jax.random.split(r2)
         if hasattr(self.roi_head, 'init_all_variables'):
             variables = dict(backbone_vars)
@@ -99,7 +101,11 @@ class TwoStageDetector:
         return variables
 
     def frozen_param_paths(self):
-        return ['backbone/' + p for p in self.backbone.frozen_param_paths()]
+        paths = ['backbone/' + p for p in self.backbone.frozen_param_paths()]
+        roi_frozen = getattr(self.roi_head, 'frozen_param_paths', None)
+        if callable(roi_frozen):
+            paths += roi_frozen()
+        return paths
 
     def _split(self, variables):
         params = dict(variables['params'])

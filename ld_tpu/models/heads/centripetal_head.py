@@ -213,7 +213,8 @@ class CentripetalHead(CornerHead):
             return multiclass_nms(
                 boxes, sc_full, cfg.get('score_thr', 0.05),
                 cfg.get('nms', {}).get('iou_threshold', 0.5),
-                max_per_img=cfg.get('max_per_img', 100))
+                max_per_img=cfg.get('max_per_img', 100),
+                nms_cfg=cfg.get('nms', {}))
 
         if scale_factor is None:
             scale_factor = jnp.ones((b, 4))

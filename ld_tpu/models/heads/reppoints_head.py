@@ -52,6 +52,34 @@ def points2bbox_shifts(pts, method, moment_transfer=None, moment_mul=0.01):
     return jnp.stack([mx - hw, my - hh, mx + hw, my + hh], -1)
 
 
+def gen_grid_from_reg(reg, prev_box, k):
+    """Grid-point parameterization (use_grid_points): a 4-channel box
+    regression [dx, dy, dlog_w, dlog_h] relative to `prev_box` becomes a
+    k x k point grid on the regressed box.
+
+    Parity: reference reppoints_head.py gen_grid_from_reg — same
+    (y, x)-interleaved point layout as the dcn base offsets (y slowest).
+
+    Args:
+        reg: (..., 4); prev_box: (..., 4) x1y1x2y2, grid units.
+    Returns:
+        pts: (..., 2*k*k) y-first interleaved; box: (..., 4).
+    """
+    bxy = (prev_box[..., :2] + prev_box[..., 2:]) * 0.5
+    bwh = jnp.maximum(prev_box[..., 2:] - prev_box[..., :2], 1e-6)
+    wh = bwh * jnp.exp(reg[..., 2:])
+    topleft = bxy + bwh * reg[..., :2] - 0.5 * wh
+    t = jnp.linspace(0.0, 1.0, k).astype(reg.dtype)
+    gx = topleft[..., 0:1] + wh[..., 0:1] * t          # (..., k)
+    gy = topleft[..., 1:2] + wh[..., 1:2] * t
+    # point (iy, ix): (gy[iy], gx[ix]); y varies slowest, x fastest
+    yy = jnp.repeat(gy, k, axis=-1)                     # (..., k*k)
+    xx = jnp.tile(gx, (1,) * (gx.ndim - 1) + (k,))
+    pts = jnp.stack([yy, xx], -1).reshape(*reg.shape[:-1], -1)
+    box = jnp.concatenate([topleft, topleft + wh], -1)
+    return pts, box
+
+
 class RepPointsHeadNet(nn.Module):
     num_classes: int
     num_points: int = 9
@@ -61,6 +89,8 @@ class RepPointsHeadNet(nn.Module):
     gradient_mul: float = 0.1
     transform_method: str = 'moment'
     moment_mul: float = 0.01
+    use_grid_points: bool = False
+    point_base_scale: float = 4.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,7 +109,8 @@ class RepPointsHeadNet(nn.Module):
         pts_init_conv = nn.Conv(self.point_feat_channels, (3, 3),
                                 padding=[(1, 1)] * 2, dtype=self.dtype,
                                 name='pts_init_conv')
-        pts_init_out = nn.Conv(2 * self.num_points, (1, 1),
+        pts_out_dim = 4 if self.use_grid_points else 2 * self.num_points
+        pts_init_out = nn.Conv(pts_out_dim, (1, 1),
                                dtype=self.dtype,
                                kernel_init=nn.initializers.normal(0.01),
                                name='pts_init_out')
@@ -92,7 +123,7 @@ class RepPointsHeadNet(nn.Module):
         pts_refine_dconv = DeformConv(self.point_feat_channels,
                                       dtype=self.dtype,
                                       name='pts_refine_dconv')
-        pts_refine_out = nn.Conv(2 * self.num_points, (1, 1),
+        pts_refine_out = nn.Conv(pts_out_dim, (1, 1),
                                  dtype=self.dtype,
                                  kernel_init=nn.initializers.normal(0.01),
                                  name='pts_refine_out')
@@ -100,22 +131,36 @@ class RepPointsHeadNet(nn.Module):
             if self.transform_method == 'moment' else None
 
         cls_scores, sbox_inits, sbox_refines = [], [], []
+        scale = self.point_base_scale / 2.0
         for x in feats:
             c, r = x, x
             for conv in cls_convs:
                 c = conv(c)
             for conv in reg_convs:
                 r = conv(r)
-            pts_init = pts_init_out(
+            raw_init = pts_init_out(
                 nn.relu(pts_init_conv(r))).astype(jnp.float32)
+            if self.use_grid_points:
+                prev = jnp.broadcast_to(
+                    jnp.asarray([-scale, -scale, scale, scale],
+                                jnp.float32),
+                    raw_init.shape[:-1] + (4, ))
+                pts_init, bbox_init = gen_grid_from_reg(raw_init, prev, k)
+            else:
+                pts_init, bbox_init = raw_init, None
             pts_gm = (1 - self.gradient_mul) * \
                 jax.lax.stop_gradient(pts_init) + \
                 self.gradient_mul * pts_init
             dcn_offset = pts_gm - dcn_base[None, None, None, :]
             cls = cls_out_conv(nn.relu(cls_dconv(c, dcn_offset)))
-            pts_refine = pts_refine_out(
+            raw_refine = pts_refine_out(
                 nn.relu(pts_refine_dconv(r, dcn_offset))).astype(
-                    jnp.float32) + jax.lax.stop_gradient(pts_init)
+                    jnp.float32)
+            if self.use_grid_points:
+                pts_refine, _ = gen_grid_from_reg(
+                    raw_refine, jax.lax.stop_gradient(bbox_init), k)
+            else:
+                pts_refine = raw_refine + jax.lax.stop_gradient(pts_init)
             cls_scores.append(cls.astype(jnp.float32))
             sbox_inits.append(points2bbox_shifts(
                 pts_init, self.transform_method, moment, self.moment_mul))
@@ -131,7 +176,8 @@ class RepPointsHead:
                  point_feat_channels=256, stacked_convs=3, num_points=9,
                  gradient_mul=0.1, point_strides=(8, 16, 32, 64, 128),
                  point_base_scale=4, transform_method='moment',
-                 moment_mul=0.01, loss_cls=None, loss_bbox_init=None,
+                 moment_mul=0.01, use_grid_points=False, center_init=True,
+                 loss_cls=None, loss_bbox_init=None,
                  loss_bbox_refine=None, train_cfg=None, test_cfg=None,
                  norm_cfg=None, dtype=jnp.float32, **kwargs):
         self.num_classes = num_classes
@@ -151,8 +197,15 @@ class RepPointsHead:
             nms=dict(type='nms', iou_threshold=0.5), max_per_img=100)
         init_cfg = dict(self.train_cfg.get('init', {}).get(
             'assigner', dict(scale=4, pos_num=1)))
-        init_cfg.pop('type', None)
-        self.init_assigner = PointAssigner(**init_cfg)
+        init_type = init_cfg.pop('type', 'PointAssigner')
+        # the grid (bbox-representation) configs replace the init
+        # PointAssigner with a MaxIoUAssigner over the base-scale boxes
+        # (reference configs/reppoints/bbox_r50_grid_fpn_...py)
+        self._init_is_maxiou = init_type == 'MaxIoUAssigner'
+        if self._init_is_maxiou:
+            self.init_assigner = MaxIoUAssigner(**init_cfg)
+        else:
+            self.init_assigner = PointAssigner(**init_cfg)
         refine_cfg = dict(self.train_cfg.get('refine', {}).get(
             'assigner', dict(pos_iou_thr=0.5, neg_iou_thr=0.4,
                              min_pos_iou=0.0)))
@@ -164,7 +217,8 @@ class RepPointsHead:
             point_feat_channels=point_feat_channels,
             stacked_convs=stacked_convs, gradient_mul=gradient_mul,
             transform_method=transform_method, moment_mul=moment_mul,
-            dtype=dtype)
+            use_grid_points=use_grid_points,
+            point_base_scale=float(point_base_scale), dtype=dtype)
 
     def _points(self, featmap_sizes):
         pts, strides, lvl_id = [], [], []
@@ -198,9 +252,18 @@ class RepPointsHead:
             self._flatten(sbox_refines, 4), centers, strides)
         pts3 = jnp.concatenate([centers, strides[:, None]], -1)
 
+        half = 0.5 * self.point_base_scale * strides[:, None]
+        base_boxes = jnp.concatenate([centers - half, centers + half], -1)
+
         def single(gtb, gtl, gtv, init_boxes):
-            res_i = self.init_assigner.assign(
-                pts3, num_lvl, gtb, gtl, gtv, num_classes=self.num_classes)
+            if self._init_is_maxiou:
+                res_i = self.init_assigner.assign(
+                    base_boxes, num_lvl, gtb, gtl, gtv,
+                    num_classes=self.num_classes)
+            else:
+                res_i = self.init_assigner.assign(
+                    pts3, num_lvl, gtb, gtl, gtv,
+                    num_classes=self.num_classes)
             safe_i = jnp.clip(res_i.assigned_gt_inds, 0)
             res_r = self.refine_assigner.assign(
                 jax.lax.stop_gradient(init_boxes), num_lvl, gtb, gtl, gtv,

@@ -32,7 +32,10 @@ class Shared2FCBBoxHeadNet(nn.Module):
     convfc_bbox_head.py ConvFCBBoxHead): `num_convs` shared 3x3 convs then
     `num_fcs` shared FCs, then cls/reg linears. Shared2FCBBoxHead = (0, 2),
     Shared4Conv1FCBBoxHead = (4, 1); the class name keeps the historical
-    default for checkpoint-path stability."""
+    default for checkpoint-path stability. The plain `BBoxHead` of the C4
+    configs = (0, 0) with `with_avg_pool=True` (reference
+    roi_heads/bbox_heads/bbox_head.py:12): global-average-pooled roi
+    features feed the cls/reg linears directly."""
     num_classes: int
     fc_dim: int = 1024
     roi_size: int = 7
@@ -41,6 +44,7 @@ class Shared2FCBBoxHeadNet(nn.Module):
     num_convs: int = 0
     num_fcs: int = 2
     conv_dim: int = 256
+    with_avg_pool: bool = False
     conv_cfg: dict = None    # dict(type='ConvWS') for the gn+ws recipe
     norm_cfg: dict = None    # dict(type='GN', num_groups=32)
     dtype: jnp.dtype = jnp.float32
@@ -60,7 +64,10 @@ class Shared2FCBBoxHeadNet(nn.Module):
                               name=f'conv{i+1}_norm',
                               dtype=self.dtype)(x, False)
             x = nn.relu(x)
-        x = x.reshape(x.shape[0], -1)
+        if self.with_avg_pool:
+            x = x.mean(axis=(1, 2))
+        else:
+            x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fcs):
             x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
                                  name=f'fc{i+1}')(x))
@@ -156,6 +163,8 @@ def _convfc_shape(bbox_head: dict):
     explicit ConvFCBBoxHead fields."""
     import re
     t = bbox_head.get('type', 'Shared2FCBBoxHead')
+    if t == 'BBoxHead':   # plain head (C4 configs): no convs, no FCs
+        return 0, 0
     if t == 'ConvFCBBoxHead':
         return (bbox_head.get('num_shared_convs', 0),
                 bbox_head.get('num_shared_fcs', 2))
@@ -168,11 +177,52 @@ def _convfc_shape(bbox_head: dict):
     return 0, 2
 
 
+class ResLayerSharedNet(nn.Module):
+    """Weight-shared res5 head of the C4 configs.
+
+    Parity: /root/reference/mmdet/models/roi_heads/shared_heads/res_layer.py
+    — one ResNet stage (default stage 3 = layer4: 512-width bottlenecks,
+    stride 2) applied per-roi to the pooled C4 features; every roi shares
+    the stage weights. Runs as one batched NHWC stage over the (R, S, S, C)
+    roi batch — the per-roi loop of the reference collapses into the roi
+    batch dimension, which is exactly what the MXU wants.
+    """
+    depth: int = 50
+    stage: int = 3
+    stride: int = 2
+    dilation: int = 1
+    style: str = 'caffe'
+    norm_eval: bool = True
+    norm_cfg: dict = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ld_tpu.models.backbones.resnet import ARCH_SETTINGS
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        num_blocks = stage_blocks[self.stage]
+        planes = 64 * 2 ** self.stage
+        expansion = getattr(block_cls, 'expansion', 1)
+        bottleneck = expansion == 4   # BasicBlock has no dilation/style
+        for b in range(num_blocks):
+            s = self.stride if b == 0 else 1
+            need_ds = b == 0 and (s != 1 or
+                                  x.shape[-1] != planes * expansion)
+            kw = dict(stride=s, downsample=need_ds,
+                      norm_eval=self.norm_eval, norm_cfg=self.norm_cfg,
+                      dtype=self.dtype)
+            if bottleneck:
+                kw.update(dilation=self.dilation, style=self.style)
+            x = block_cls(planes, name=f'layer{self.stage + 1}_{b}',
+                          **kw)(x, train)
+        return x
+
+
 @HEADS.register_module()
 class StandardRoIHead:
 
     def __init__(self, bbox_roi_extractor=None, bbox_head=None,
-                 mask_roi_extractor=None, mask_head=None,
+                 mask_roi_extractor=None, mask_head=None, shared_head=None,
                  train_cfg=None, test_cfg=None, dtype=jnp.float32, **kwargs):
         bbox_head = dict(bbox_head or {})
         self.num_classes = bbox_head.get('num_classes', 80)
@@ -191,6 +241,34 @@ class StandardRoIHead:
         self.roi_size = ext.get('roi_layer', {}).get('output_size', 7)
         self.featmap_strides = tuple(ext.get('featmap_strides',
                                              (4, 8, 16, 32)))
+        # extractor out_channels (C4 configs pool 1024-ch features with no
+        # neck; the detector uses this for init when there is no neck)
+        self.ext_channels = ext.get('out_channels')
+        # weight-shared res5 head (C4 configs): applied to every extracted
+        # roi feature batch before the bbox/mask nets
+        self.shared_net = None
+        self.shared_out_channels = None
+        self.feat_size = self.roi_size
+        if shared_head:
+            sh = dict(shared_head)
+            sh.pop('type', None)
+            sh.pop('pretrained', None)
+            sh_norm = sh.get('norm_cfg')
+            self._shared_norm_frozen = \
+                (sh_norm or {}).get('requires_grad', True) is False
+            stage = sh.get('stage', 3)
+            stride = sh.get('stride', 2)
+            self.shared_net = ResLayerSharedNet(
+                depth=sh.get('depth', 50), stage=stage, stride=stride,
+                dilation=sh.get('dilation', 1),
+                style=sh.get('style', 'caffe'),
+                norm_eval=sh.get('norm_eval', True),
+                norm_cfg=sh_norm, dtype=dtype)
+            from ld_tpu.models.backbones.resnet import ARCH_SETTINGS
+            block_cls, _ = ARCH_SETTINGS[sh.get('depth', 50)]
+            self.shared_out_channels = \
+                64 * 2 ** stage * getattr(block_cls, 'expansion', 1)
+            self.feat_size = -(-self.roi_size // stride)
         self.groie = None
         if ext.get('type') == 'GenericRoIExtractor':
             self.groie = GroIENet(aggregation=ext.get('aggregation', 'sum'),
@@ -236,11 +314,12 @@ class StandardRoIHead:
             'OHEMSampler', 'ScoreHLRSampler')
         n_convs, n_fcs = _convfc_shape(bbox_head)
         self.net = Shared2FCBBoxHeadNet(
-            num_classes=self.num_classes, roi_size=self.roi_size,
+            num_classes=self.num_classes, roi_size=self.feat_size,
             in_channels=bbox_head.get('in_channels', 256),
             fc_dim=bbox_head.get('fc_out_channels', 1024),
             num_convs=n_convs, num_fcs=n_fcs,
             conv_dim=bbox_head.get('conv_out_channels', 256),
+            with_avg_pool=bbox_head.get('with_avg_pool', False),
             conv_cfg=bbox_head.get('conv_cfg'),
             norm_cfg=bbox_head.get('norm_cfg'),
             reg_class_agnostic=self.reg_class_agnostic, dtype=dtype)
@@ -252,9 +331,16 @@ class StandardRoIHead:
             mh.pop('type', None)
             mh.setdefault('num_classes', self.num_classes)
             mext = dict(mask_roi_extractor or {})
-            self.mask_roi_size = mext.get('roi_layer',
-                                          {}).get('output_size', 14)
-            mh.setdefault('roi_size', self.mask_roi_size)
+            if mask_roi_extractor is None and self.shared_net is not None:
+                # C4 (mask_roi_extractor=None): the mask branch pools at
+                # the bbox extractor's size and shares res5 — its net sees
+                # the post-shared-head spatial size
+                self.mask_roi_size = self.roi_size
+                mh.setdefault('roi_size', self.feat_size)
+            else:
+                self.mask_roi_size = mext.get('roi_layer',
+                                              {}).get('output_size', 14)
+                mh.setdefault('roi_size', self.mask_roi_size)
             self.mask_head = FCNMaskHead(dtype=dtype, **mh)
 
     # ---- training -------------------------------------------------------------
@@ -314,6 +400,32 @@ class StandardRoIHead:
     def _mask_vars(self, variables):
         return {'params': variables['params']['mask']}
 
+    def _apply_shared(self, variables, roi_feats):
+        """Weight-shared res5 (C4 configs) over the roi feature batch.
+
+        The running BN statistics live under the roi-head param tree (the
+        shared head always runs norm_eval) — stop_gradient keeps them out
+        of the backward graph, and frozen_param_paths keeps the optimizer
+        off them."""
+        if self.shared_net is None:
+            return roi_feats
+        sp = variables['params']['shared']
+        sv = {'params': sp['params'],
+              'batch_stats': jax.tree_util.tree_map(
+                  jax.lax.stop_gradient, sp['batch_stats'])}
+        return self.shared_net.apply(sv, roi_feats)
+
+    def frozen_param_paths(self):
+        """Optimizer freeze patterns contributed by this head (the shared
+        res5's running stats are data, not weights; its BN affine params
+        freeze too under norm_cfg requires_grad=False)."""
+        if self.shared_net is None:
+            return []
+        paths = ['roi_head/shared/batch_stats']
+        if getattr(self, '_shared_norm_frozen', False):
+            paths.append('roi_head/shared/params/*/bn/*')
+        return paths
+
     def _extract_rois(self, variables, img_feats, img_rois, img_valid,
                       mask=False):
         """Roi features for ONE image: level-routed (SingleRoIExtractor) or
@@ -324,7 +436,7 @@ class StandardRoIHead:
             first = multi_level_roi_align(img_feats, img_rois, img_valid,
                                           size, self.featmap_strides)
             if mask or self.dpool is None:
-                return first
+                return self._apply_shared(variables, first)
             # deformable RoI pooling: offsets from the first pass, then a
             # second offset-shifted (and optionally modulated) extraction
             from ld_tpu.ops.roi_align import multi_level_roi_align_offsets
@@ -344,12 +456,22 @@ class StandardRoIHead:
         return out * img_valid[:, None, None, None]
 
     def init_all_variables(self, rng, in_channels=256):
-        """Full roi-head param tree (bbox [+ mask] [+ groie modules])."""
+        """Full roi-head param tree (bbox [+ mask] [+ shared res5]
+        [+ groie modules])."""
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-        params = dict(bbox=self.net.init(
-            r1, jnp.zeros((1, self.roi_size, self.roi_size,
-                           in_channels)))['params'])
-        zeros = [jnp.zeros((1, self.roi_size, self.roi_size, in_channels))
+        ext_c = self.ext_channels or in_channels
+        head_c = self.shared_out_channels or ext_c
+        params = {}
+        if self.shared_net is not None:
+            sv = self.shared_net.init(
+                jax.random.fold_in(rng, 11),
+                jnp.zeros((1, self.roi_size, self.roi_size, ext_c)))
+            params['shared'] = dict(params=sv['params'],
+                                    batch_stats=sv.get('batch_stats', {}))
+        params['bbox'] = self.net.init(
+            r1, jnp.zeros((1, self.feat_size, self.feat_size,
+                           head_c)))['params']
+        zeros = [jnp.zeros((1, self.roi_size, self.roi_size, ext_c))
                  ] * len(self.featmap_strides)
         if self.groie is not None:
             params['groie'] = self.groie.init(r3, zeros)['params']
@@ -357,12 +479,13 @@ class StandardRoIHead:
             params['dpool'] = self.dpool.init(
                 jax.random.fold_in(rng, 7), zeros[0])['params']
         if self.mask_head is not None:
+            msize = self.mask_head.roi_size if self.shared_net is not None \
+                else self.mask_roi_size
             params['mask'] = self.mask_head.net.init(
-                r2, jnp.zeros((1, self.mask_roi_size, self.mask_roi_size,
-                               in_channels)))['params']
+                r2, jnp.zeros((1, msize, msize, head_c)))['params']
             if self.mask_groie is not None:
                 mz = [jnp.zeros((1, self.mask_roi_size, self.mask_roi_size,
-                                 in_channels))] * len(self.featmap_strides)
+                                 ext_c))] * len(self.featmap_strides)
                 params['groie_mask'] = self.mask_groie.init(
                     r4, mz)['params']
         return params
@@ -414,8 +537,7 @@ class StandardRoIHead:
             [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
         cls, reg = self.net.apply(
             self._bbox_vars(variables),
-            roi_feats.reshape(-1, self.roi_size, self.roi_size,
-                              roi_feats.shape[-1]))
+            roi_feats.reshape(-1, *roi_feats.shape[-3:]))
         labels_f = labels.reshape(-1)
         validf = roi_valid.reshape(-1).astype(jnp.float32)
         posf = roi_pos.reshape(-1).astype(jnp.float32)
@@ -494,7 +616,8 @@ class StandardRoIHead:
                                self.num_classes) * flat_scores[:, None],
                 cfg.get('score_thr', 0.05),
                 cfg.get('nms', {}).get('iou_threshold', 0.5),
-                max_per_img=cfg.get('max_per_img', 100))
+                max_per_img=cfg.get('max_per_img', 100),
+                nms_cfg=cfg.get('nms', {}))
 
         if scale_factor is None:
             scale_factor = jnp.ones((proposals.shape[0], 4))
@@ -709,8 +832,7 @@ class SABLRoIHead(StandardRoIHead):
             [f for f in feats[:len(self.featmap_strides)]], rois, roi_valid)
         cls, (bucket_cls, bucket_off) = self.net.apply(
             self._bbox_vars(variables),
-            roi_feats.reshape(-1, self.roi_size, self.roi_size,
-                              roi_feats.shape[-1]))
+            roi_feats.reshape(-1, *roi_feats.shape[-3:]))
         labels_f = labels.reshape(-1)
         validf = roi_valid.reshape(-1).astype(jnp.float32)
         posf = roi_pos.reshape(-1).astype(jnp.float32)
@@ -779,7 +901,8 @@ class SABLRoIHead(StandardRoIHead):
             return multiclass_nms(
                 boxes, scores, cfg.get('score_thr', 0.05),
                 cfg.get('nms', {}).get('iou_threshold', 0.5),
-                max_per_img=cfg.get('max_per_img', 100))
+                max_per_img=cfg.get('max_per_img', 100),
+                nms_cfg=cfg.get('nms', {}))
 
         if scale_factor is None:
             scale_factor = jnp.ones((proposals.shape[0], 4))

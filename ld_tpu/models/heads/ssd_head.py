@@ -45,12 +45,18 @@ class SSDAnchorGenerator(AnchorGenerator):
         for ratio in range(min_ratio, max_ratio + 1, step):
             min_sizes.append(int(input_size * ratio / 100))
             max_sizes.append(int(input_size * (ratio + step) / 100))
-        if basesize_ratio_range[0] == 0.15:  # SSD300 COCO
-            min_sizes.insert(0, int(input_size * 7 / 100))
-            max_sizes.insert(0, int(input_size * 15 / 100))
+        # first-level sizes: the reference hard-codes them per
+        # (input_size, ratio_range) recipe (anchor_generator.py:388-406)
+        if input_size == 512 and basesize_ratio_range[0] == 0.1:
+            first = (4, 10)       # SSD512 COCO
+        elif input_size == 512 and basesize_ratio_range[0] == 0.15:
+            first = (7, 15)       # SSD512 VOC
+        elif basesize_ratio_range[0] == 0.15:
+            first = (7, 15)       # SSD300 COCO
         else:
-            min_sizes.insert(0, int(input_size * 10 / 100))
-            max_sizes.insert(0, int(input_size * 20 / 100))
+            first = (10, 20)      # SSD300 VOC
+        min_sizes.insert(0, int(input_size * first[0] / 100))
+        max_sizes.insert(0, int(input_size * first[1] / 100))
 
         self.strides = [(s, s) if not isinstance(s, (tuple, list)) else s
                         for s in strides]

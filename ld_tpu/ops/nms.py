@@ -125,13 +125,55 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return order[pos], top_scores > -jnp.inf
 
 
+def soft_nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, valid,
+                    iou_threshold: float, max_out: int,
+                    method: str = 'linear', sigma: float = 0.5,
+                    min_score: float = 1e-3):
+    """Greedy soft-NMS (Bodla et al. 2017; mmcv.ops.soft_nms semantics as
+    consumed at /root/reference/mmdet/core/post_processing/bbox_nms.py:59
+    via nms_cfg type='soft_nms').
+
+    Soft-NMS is inherently sequential (every emission rescales the field),
+    so it runs as a `max_out`-step scan: each step emits the current
+    highest-scoring box and decays the rest by overlap with it —
+    linear: *(1-iou) where iou > threshold; gaussian: *exp(-iou^2/sigma).
+    One (N,) IoU row per step keeps the scan cheap at candidate counts
+    after the usual top-k prefilter.
+
+    Returns:
+        idx: (max_out,) int32 indices in emission (descending decayed
+            score) order.
+        out_scores: (max_out,) decayed scores (0 where below min_score).
+        out_valid: (max_out,) bool.
+    """
+    s0 = jnp.where(valid, scores, -jnp.inf)
+
+    def body(s, _):
+        i = jnp.argmax(s)
+        si = s[i]
+        iou = bbox_overlaps(boxes[i][None], boxes)[0]
+        if method == 'gaussian':
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        s = jnp.where(jnp.isfinite(s), s * decay, s)
+        s = s.at[i].set(-jnp.inf)
+        return s, (i, si)
+
+    _, (idx, out_scores) = jax.lax.scan(body, s0, None, length=max_out)
+    out_valid = out_scores > min_score
+    return (idx.astype(jnp.int32),
+            jnp.where(out_valid, out_scores, 0.0), out_valid)
+
+
 def multiclass_nms(mlvl_bboxes: jnp.ndarray,
                    mlvl_scores: jnp.ndarray,
                    score_thr: float,
                    iou_threshold: float,
                    max_per_img: int = 100,
                    max_candidates: int = 1024,
-                   box_coord_bound: float = 4096.0):
+                   box_coord_bound: float = 4096.0,
+                   nms_cfg: dict = None):
     """Class-aware NMS over one image's multi-level candidates.
 
     Parity with /root/reference/mmdet/core/post_processing/bbox_nms.py:70:
@@ -167,6 +209,25 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
                         cand_boxes.max() + 1.0)
     offset_boxes = cand_boxes + (class_idx.astype(cand_boxes.dtype) *
                                  bound)[:, None]
+    if (nms_cfg or {}).get('type') == 'soft_nms':
+        m = min(max_per_img, k)
+        idx, s, v = soft_nms_select(
+            offset_boxes, top_scores, cand_valid,
+            nms_cfg.get('iou_threshold', 0.3), m,
+            method=nms_cfg.get('method', 'linear'),
+            sigma=nms_cfg.get('sigma', 0.5),
+            min_score=nms_cfg.get('min_score', 1e-3))
+        out_boxes = jnp.where(v[:, None], cand_boxes[idx], 0.0)
+        out_labels = jnp.where(v, class_idx[idx], -1)
+        pad = max_per_img - m
+        s, v = jnp.where(v, s, 0.0), v
+        if pad:
+            s = jnp.pad(s, (0, pad))
+            out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+            out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+            v = jnp.pad(v, (0, pad))
+        return (jnp.concatenate([out_boxes, s[:, None]], -1),
+                out_labels, v)
     keep = _cluster_nms_keep(offset_boxes, top_scores, iou_threshold,
                              valid=cand_valid)
 
