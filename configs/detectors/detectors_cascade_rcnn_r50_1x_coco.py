@@ -1,0 +1,10 @@
+# Parity: /root/reference/configs/detectors/detectors_cascade_rcnn_r50_1x_coco.py
+_base_ = '../cascade_rcnn/cascade_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    backbone=dict(_delete_=True, type='DetectoRS_ResNet', depth=50,
+                  frozen_stages=1, sac=dict(type='SAC'),
+                  stage_with_sac=(False, True, True, True)),
+    neck=dict(_delete_=True, type='RFP',
+              in_channels=[256, 512, 1024, 2048], out_channels=256,
+              num_outs=5, rfp_steps=2),
+)

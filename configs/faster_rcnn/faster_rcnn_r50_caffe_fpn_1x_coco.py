@@ -1,0 +1,7 @@
+# Parity: /root/reference/configs/faster_rcnn/faster_rcnn_r50_caffe_fpn_1x_coco.py
+_base_ = ['./faster_rcnn_r50_fpn_1x_coco.py',
+          '../_base_/caffe_norm_detection.py']
+model = dict(
+    pretrained='open-mmlab://detectron2/resnet50_caffe',
+    backbone=dict(norm_cfg=dict(type='BN', requires_grad=False),
+                  style='caffe'))

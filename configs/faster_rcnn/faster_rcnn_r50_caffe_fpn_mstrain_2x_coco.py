@@ -1,0 +1,5 @@
+# Parity: /root/reference/configs/faster_rcnn/faster_rcnn_r50_caffe_fpn_mstrain_2x_coco.py
+_base_ = ['./faster_rcnn_r50_caffe_fpn_1x_coco.py',
+          '../_base_/mstrain_640_800.py']
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

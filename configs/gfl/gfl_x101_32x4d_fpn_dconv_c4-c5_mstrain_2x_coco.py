@@ -1,0 +1,8 @@
+# Parity: /root/reference/configs/gfl/gfl_x101_32x4d_fpn_dconv_c4-c5_mstrain_2x_coco.py
+_base_ = './gfl_r50_fpn_mstrain_2x_coco.py'
+model = dict(
+    pretrained='open-mmlab://resnext101_32x4d',
+    backbone=dict(type='ResNeXt', depth=101, groups=32, base_width=4,
+                  dcn=dict(type='DCNv2', deform_groups=1,
+                           fallback_on_stride=False),
+                  stage_with_dcn=(False, False, True, True)))

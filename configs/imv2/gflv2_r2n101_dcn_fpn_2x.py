@@ -1,0 +1,12 @@
+# Parity: /root/reference/configs/imv2/gflv2_r2n101_dcn_fpn_2x.py
+# GFocalV2 Res2Net-101-DCN 2x — the strongest imitation teacher
+_base_ = '../gfl/gflv2_r101_fpn_2x_coco.py'
+model = dict(
+    pretrained='open-mmlab://res2net101_v1d_26w_4s',
+    backbone=dict(
+        _delete_=True, type='Res2Net', depth=101, scales=4,
+        base_width=26, frozen_stages=1, norm_eval=True,
+        dcn=dict(type='DCNv2', deform_groups=1,
+                 fallback_on_stride=False),
+        stage_with_dcn=(False, True, True, True)),
+)

@@ -1,0 +1,10 @@
+# Parity: /root/reference/configs/nas_fpn/retinanet_r50_fpn_crop640_50e_coco.py
+# the plain-FPN control for the NAS-FPN study: same crop640/50e
+# recipe, stacked FPN replaced by one FPN
+_base_ = './retinanet_r50_nasfpn_crop640_50e_coco.py'
+model = dict(neck=dict(
+    _delete_=True, type='FPN', in_channels=[256, 512, 1024, 2048],
+    out_channels=256, start_level=1, add_extra_convs='on_input',
+    num_outs=5, relu_before_extra_convs=True,
+    no_norm_on_lateral=True, norm_cfg=dict(type='BN',
+                                           requires_grad=True)))

@@ -1,6 +1,6 @@
 # Cascade R-CNN, ResNeSt-101 (stem_channels=128).
 # Parity: /root/reference/configs/resnest/
 # cascade_rcnn_s101_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py.
-_base_ = ['./cascade_rcnn_s50_fpn_mstrain_1x_coco.py']
+_base_ = ['./cascade_rcnn_s50_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py']
 model = dict(pretrained='open-mmlab://resnest101',
              backbone=dict(stem_channels=128, depth=101))

@@ -1,0 +1,4 @@
+# Parity: /root/reference/configs/scnet/scnet_r101_fpn_20e_coco.py
+_base_ = './scnet_r50_fpn_20e_coco.py'
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101))

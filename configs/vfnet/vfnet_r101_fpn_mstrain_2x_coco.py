@@ -1,0 +1,4 @@
+# Parity: /root/reference/configs/vfnet/vfnet_r101_fpn_mstrain_2x_coco.py
+_base_ = './vfnet_r50_fpn_mstrain_2x_coco.py'
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101))

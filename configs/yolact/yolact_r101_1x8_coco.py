@@ -1,0 +1,4 @@
+# Parity: /root/reference/configs/yolact/yolact_r101_1x8_coco.py
+_base_ = './yolact_r50_1x8_coco.py'
+model = dict(pretrained='torchvision://resnet101',
+             backbone=dict(depth=101))

@@ -1,0 +1,23 @@
+# Parity: /root/reference/configs/yolo/yolov3_d53_320_273e_coco.py
+_base_ = './yolov3_d53_mstrain-416_273e_coco.py'
+img_norm_cfg = dict(mean=[0, 0, 0], std=[255., 255., 255.],
+                    to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='PhotoMetricDistortion'),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='FusedPreprocess', img_scale=(320, 320),
+         size_divisor=32, keep_ratio=False, **img_norm_cfg),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='FusedPreprocess', img_scale=(320, 320),
+         size_divisor=32, keep_ratio=False, **img_norm_cfg),
+    dict(type='Collect', keys=['img']),
+]
+data = dict(train=dict(pipeline=train_pipeline),
+            val=dict(pipeline=test_pipeline),
+            test=dict(pipeline=test_pipeline))
+pad_to = (320, 320)

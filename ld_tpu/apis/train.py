@@ -81,7 +81,18 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                               max_gts, seed=cfg.get('seed', 0),
                               batch_scales=cfg.get('batch_scales'))
     steps_per_epoch = len(loader)
-    max_epochs = cfg.get('runner', {}).get('max_epochs', 12)
+    runner_cfg = cfg.get('runner', {})
+    if runner_cfg.get('type') == 'IterBasedRunner':
+        # iteration-budget training (reference IterBasedRunner, e.g.
+        # configs/faster_rcnn/..._90k_coco.py): run whole epochs until the
+        # iteration budget is hit; lr_config steps are already in iters
+        max_iters = runner_cfg.get('max_iters', 90000)
+        max_epochs = -(-max_iters // max(steps_per_epoch, 1))
+        max_steps = max_steps or max_iters
+        lr_steps_per_epoch = 1
+    else:
+        max_epochs = runner_cfg.get('max_epochs', 12)
+        lr_steps_per_epoch = steps_per_epoch
 
     detector = build_detector(cfg.model)
     has_teacher = hasattr(detector, 'teacher')
@@ -97,7 +108,7 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
 
     init_shape = (1, ) + max_pad_hw + (3, )
     schedule = build_lr_schedule(cfg.optimizer['lr'], cfg.get('lr_config', {}),
-                                 steps_per_epoch, max_epochs)
+                                 lr_steps_per_epoch, max_epochs)
     variables = detector.init_variables(rng, init_shape)
     optimizer = build_optimizer(
         cfg.optimizer, schedule, variables['params'],

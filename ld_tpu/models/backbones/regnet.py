@@ -86,6 +86,8 @@ class RegNet(nn.Module):
     norm_eval: bool = True
     norm_cfg: dict = None
     style: str = 'pytorch'
+    dcn: dict = None            # mdconv variants (configs/regnet mdconv)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     def _layout(self):
@@ -127,11 +129,24 @@ class RegNet(nn.Module):
                                 name=f'layer{stage+1}_{b}_norm1',
                                 dtype=self.dtype)(out, train)
                 out = nn.relu(out)
-                out = nn.Conv(bottleneck_width, (3, 3), strides=(s, s),
-                              padding=[(1, 1)] * 2,
-                              feature_group_count=groups, use_bias=False,
-                              name=f'layer{stage+1}_{b}_conv2',
-                              dtype=self.dtype)(out)
+                if self.dcn is not None and self.stage_with_dcn[stage]:
+                    # mdconv: modulated DCN on the 3x3 (the reference keeps
+                    # the channel grouping inside DCN; here the deformable
+                    # sampling is ungrouped — documented deviation, the
+                    # offset field is shared across groups either way)
+                    from ld_tpu.ops.deform_conv import ModulatedDeformConv
+                    out = ModulatedDeformConv(
+                        bottleneck_width, kernel_size=3, stride=s,
+                        deform_groups=self.dcn.get('deform_groups', 1),
+                        dtype=self.dtype,
+                        name=f'layer{stage+1}_{b}_conv2')(out)
+                else:
+                    out = nn.Conv(bottleneck_width, (3, 3), strides=(s, s),
+                                  padding=[(1, 1)] * 2,
+                                  feature_group_count=groups,
+                                  use_bias=False,
+                                  name=f'layer{stage+1}_{b}_conv2',
+                                  dtype=self.dtype)(out)
                 out = BatchNorm(use_running_average=self.norm_eval,
                                 name=f'layer{stage+1}_{b}_norm2',
                                 dtype=self.dtype)(out, train)

@@ -34,6 +34,8 @@ class Bottle2neck(nn.Module):
     base_width: int = 26
     stage_block: bool = False   # first block of a stage
     norm_eval: bool = True
+    with_dcn: bool = False      # DCNv2 on every split 3x3 (mmdet Res2Net dcn)
+    dcn_deform_groups: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -53,9 +55,17 @@ class Bottle2neck(nn.Module):
         for i in range(self.scales - 1):
             sp_in = splits[i] if (self.stage_block or i == 0) \
                 else sp + splits[i]
-            sp = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                         padding=[(1, 1)] * 2, use_bias=False,
-                         name=f'convs{i}', dtype=self.dtype)(sp_in)
+            if self.with_dcn:
+                from ld_tpu.ops.deform_conv import ModulatedDeformConv
+                sp = ModulatedDeformConv(
+                    width, kernel_size=3, stride=self.stride,
+                    deform_groups=self.dcn_deform_groups,
+                    dtype=self.dtype, name=f'convs{i}')(sp_in)
+            else:
+                sp = nn.Conv(width, (3, 3),
+                             strides=(self.stride, self.stride),
+                             padding=[(1, 1)] * 2, use_bias=False,
+                             name=f'convs{i}', dtype=self.dtype)(sp_in)
             sp = BatchNorm(use_running_average=self.norm_eval,
                            name=f'bns{i}', dtype=self.dtype)(sp, train)
             sp = nn.relu(sp)
@@ -91,6 +101,8 @@ class Res2Net(nn.Module):
     norm_eval: bool = True
     norm_cfg: dict = None
     style: str = 'pytorch'
+    dcn: dict = None
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,6 +130,10 @@ class Res2Net(nn.Module):
                     planes=planes, stride=s, downsample=need_ds,
                     scales=self.scales, base_width=self.base_width,
                     stage_block=(b == 0), norm_eval=self.norm_eval,
+                    with_dcn=(self.dcn is not None and
+                              self.stage_with_dcn[stage]),
+                    dcn_deform_groups=(self.dcn or {}).get(
+                        'deform_groups', 1),
                     dtype=self.dtype, name=f'layer{stage+1}_{b}')(x, train)
             in_planes = planes * 4
             if stage + 1 <= self.frozen_stages:

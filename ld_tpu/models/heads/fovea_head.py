@@ -31,6 +31,10 @@ class FoveaHeadNet(nn.Module):
     num_classes: int
     feat_channels: int = 256
     stacked_convs: int = 4
+    # FoveaBox-align (reference fovea_head.py FeatureAlign): a
+    # zero-initialized 1x1 conv maps exp(bbox_pred) to per-tap DCN offsets
+    # that warp the cls tower onto the predicted fovea before scoring
+    with_deform: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,6 +54,14 @@ class FoveaHeadNet(nn.Module):
                            dtype=self.dtype,
                            kernel_init=nn.initializers.normal(0.01),
                            name='conv_reg')
+        if self.with_deform:
+            from ld_tpu.ops.deform_conv import DeformConv
+            align_offset = nn.Conv(
+                18, (1, 1), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name='align_offset')
+            align_conv = DeformConv(self.feat_channels, dtype=self.dtype,
+                                    name='feature_align')
         cls_scores, bbox_preds = [], []
         for x in feats:
             c, r = x, x
@@ -57,8 +69,12 @@ class FoveaHeadNet(nn.Module):
                 c = conv(c)
             for conv in reg_convs:
                 r = conv(r)
+            reg = conv_reg(r).astype(jnp.float32)
+            if self.with_deform:
+                off = align_offset(jnp.exp(jnp.clip(reg, -8.0, 8.0)))
+                c = nn.relu(align_conv(c, off))
             cls_scores.append(conv_cls(c).astype(jnp.float32))
-            bbox_preds.append(conv_reg(r).astype(jnp.float32))
+            bbox_preds.append(reg)
         return cls_scores, bbox_preds
 
 
@@ -69,8 +85,9 @@ class FoveaHead:
                  stacked_convs=4, strides=(8, 16, 32, 64, 128),
                  base_edge_list=DEFAULT_BASE_EDGES,
                  scale_ranges=DEFAULT_SCALE_RANGES, sigma=0.4,
-                 loss_cls=None, loss_bbox=None, train_cfg=None,
-                 test_cfg=None, dtype=jnp.float32, **kwargs):
+                 with_deform=False, loss_cls=None, loss_bbox=None,
+                 train_cfg=None, test_cfg=None, dtype=jnp.float32,
+                 **kwargs):
         self.num_classes = num_classes
         self.cls_out_channels = num_classes
         self.strides = tuple(strides)
@@ -88,7 +105,8 @@ class FoveaHead:
             nms=dict(type='nms', iou_threshold=0.5), max_per_img=100)
         self.net = FoveaHeadNet(num_classes=num_classes,
                                 feat_channels=feat_channels,
-                                stacked_convs=stacked_convs, dtype=dtype)
+                                stacked_convs=stacked_convs,
+                                with_deform=with_deform, dtype=dtype)
 
     def _level_points(self, featmap_sizes):
         pts, lvl_id = [], []

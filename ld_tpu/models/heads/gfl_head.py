@@ -132,8 +132,17 @@ class GFLHead:
         ag = dict(anchor_generator or dict(
             ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
             strides=[8, 16, 32, 64, 128]))
-        ag.pop('type', None)
-        self.anchor_generator = AnchorGenerator(**ag)
+        ag_type = ag.pop('type', 'AnchorGenerator')
+        if ag_type in ('SSDAnchorGenerator', 'LegacySSDAnchorGenerator'):
+            # PISA-SSD routes the SSD anchor scheme through a
+            # RetinaHead-lineage head (reference pisa_ssd300_coco.py)
+            from ld_tpu.models.heads import ssd_head as _ssd
+            self.anchor_generator = getattr(_ssd, ag_type)(**ag)
+        elif ag_type == 'LegacyAnchorGenerator':
+            from ld_tpu.ops.anchors import LegacyAnchorGenerator
+            self.anchor_generator = LegacyAnchorGenerator(**ag)
+        else:
+            self.anchor_generator = AnchorGenerator(**ag)
         self.num_levels = self.anchor_generator.num_levels
         loss_cls = loss_cls or dict(
             type='QualityFocalLoss', use_sigmoid=True, beta=2.0,

@@ -219,7 +219,8 @@ class GARetinaHead:
         return tgt, weight
 
     # ---- loss ---------------------------------------------------------------
-    def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
+    def loss(self, outputs, batch, featmap_sizes,
+             **kwargs) -> Dict[str, jnp.ndarray]:
         cls_scores, bbox_preds, shape_preds, loc_preds = outputs
         squares, approxs, num_lvl, strides = self._geometry(featmap_sizes)
         num_lvls = len(num_lvl)
@@ -331,3 +332,41 @@ class GARPNHead(GARetinaHead):
         kw.setdefault('num_classes', 1)
         kw.setdefault('stacked_convs', 1)
         super().__init__(in_channels=in_channels, **kw)
+
+    def loss(self, outputs, batch, featmap_sizes, **kwargs):
+        """RPN-prefixed loss keys so the roi head's loss_cls/loss_bbox
+        are not clobbered in the two-stage merge (reference ga_rpn names
+        its terms loss_rpn_*)."""
+        raw = super().loss(outputs, batch, featmap_sizes, **kwargs)
+        return {k if k.startswith('loss_rpn') else
+                k.replace('loss_', 'loss_rpn_'): v for k, v in raw.items()}
+
+    def get_proposals(self, outputs, img_hw, cfg=None):
+        """(B, max_per_img, 4) proposals + validity — the RPN contract the
+        two-stage detectors consume (parity: reference ga_rpn_head.py
+        get_bboxes feeding proposals into ga_faster/ga_fast configs)."""
+        cfg = cfg or self.test_cfg
+        cls_scores, bbox_preds, shape_preds, loc_preds = outputs
+        featmap_sizes = [c.shape[1:3] for c in cls_scores]
+        squares, _, _, strides = self._geometry(featmap_sizes)
+        cls_flat = flatten_levels_anchors(cls_scores, self.cls_out_channels)
+        reg_flat = flatten_levels_anchors(bbox_preds, 4)
+        shape_flat = flatten_levels_anchors(shape_preds, 2)
+        loc_flat = flatten_levels_anchors(loc_preds, 1)[..., 0]
+        nms_pre = cfg.get('nms_pre', 1000)
+        max_num = cfg.get('max_per_img', 1000)
+        iou_thr = cfg.get('nms', {}).get('iou_threshold', 0.7)
+
+        def per_image(cls_p, reg_p, shp, loc, hw):
+            from ld_tpu.ops.nms import nms
+            ganch = self._guided_anchors(squares, shp, strides)
+            keep = jax.nn.sigmoid(loc) >= self.loc_filter_thr
+            scores = jax.nn.sigmoid(cls_p[:, 0]) * keep
+            npre = min(nms_pre, scores.shape[0])
+            top, idx = topk_flat(scores, npre)
+            boxes = self.coder.decode(ganch[idx], reg_p[idx], max_shape=hw)
+            kidx, valid = nms(boxes, top, iou_thr, max_num)
+            return jnp.where(valid[:, None], boxes[kidx], 0.0), valid
+
+        return jax.vmap(per_image)(cls_flat, reg_flat, shape_flat,
+                                   loc_flat, img_hw)

@@ -227,6 +227,10 @@ class StandardRoIHead:
         bbox_head = dict(bbox_head or {})
         self.num_classes = bbox_head.get('num_classes', 80)
         self.reg_class_agnostic = bbox_head.get('reg_class_agnostic', False)
+        # IoU-family roi regression (configs/faster_rcnn *giou/iou/
+        # bounded_iou*): loss runs on DECODED boxes vs raw gt boxes
+        # (reference bbox_head.py loss with reg_decoded_bbox=True)
+        self.reg_decoded_bbox = bbox_head.get('reg_decoded_bbox', False)
         self.coder = build_coder(bbox_head.get('bbox_coder') or dict(
             type='DeltaXYWHBBoxCoder', target_means=[0., 0., 0., 0.],
             target_stds=[0.1, 0.1, 0.2, 0.2]))
@@ -390,7 +394,10 @@ class StandardRoIHead:
     def _encode_roi_targets(self, rois, matched_gt):
         """Regression targets for sampled rois; SABL overrides to defer
         its (4-tuple) bucketing encode to the loss, avoiding a wasted
-        per-roi encode here."""
+        per-roi encode here. With reg_decoded_bbox the raw gt boxes ARE
+        the targets (the loss decodes the prediction instead)."""
+        if getattr(self, 'reg_decoded_bbox', False):
+            return matched_gt
         return self.coder.encode(rois, matched_gt)
 
     def _bbox_vars(self, variables):
@@ -490,6 +497,43 @@ class StandardRoIHead:
                     r4, mz)['params']
         return params
 
+    def _bbox_losses(self, cls, reg, rois, labels, roi_valid, roi_pos,
+                     deltas, roi_weights, roi_gt_inds):
+        """Classification + regression losses over the sampled roi batch.
+        PISARoIHead overrides this to apply ISR-P/CARL reweighting."""
+        labels_f = labels.reshape(-1)
+        validf = roi_valid.reshape(-1).astype(jnp.float32)
+        posf = roi_pos.reshape(-1).astype(jnp.float32)
+        avg = jnp.maximum(validf.sum(), 1.0)
+        loss_cls = self.loss_cls_fn(
+            cls, labels_f, weight=validf * roi_weights.reshape(-1),
+            avg_factor=avg)
+        reg_sel = self._select_reg(reg, labels_f)
+        if self.reg_decoded_bbox:
+            # deltas holds raw matched gt boxes here; decode predictions
+            # onto the rois, and park invalid/negative rows AT the target
+            # so degenerate padded rois cannot poison the IoU loss
+            decoded = self.coder.decode(rois.reshape(-1, 4), reg_sel)
+            tgt = deltas.reshape(-1, 4)
+            pos_mask = posf[:, None] > 0
+            decoded = jnp.where(pos_mask, decoded, tgt)
+            loss_bbox = self.loss_bbox_fn(
+                decoded, tgt, weight=posf, avg_factor=avg)
+        else:
+            loss_bbox = self.loss_bbox_fn(
+                reg_sel, deltas.reshape(-1, 4),
+                weight=jnp.repeat(posf[:, None], 4, 1),
+                avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    def _select_reg(self, reg, labels_f):
+        if self.reg_class_agnostic:
+            return reg
+        reg = reg.reshape(-1, self.num_classes, 4)
+        safe_lab = jnp.clip(labels_f, 0, self.num_classes - 1)
+        return jnp.take_along_axis(
+            reg, safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
+
     def forward_train(self, variables, feats, proposals, prop_valid, batch,
                       rng) -> Dict[str, jnp.ndarray]:
         """feats: list of (B, H, W, C); proposals (B, P, 4);
@@ -538,25 +582,9 @@ class StandardRoIHead:
         cls, reg = self.net.apply(
             self._bbox_vars(variables),
             roi_feats.reshape(-1, *roi_feats.shape[-3:]))
-        labels_f = labels.reshape(-1)
-        validf = roi_valid.reshape(-1).astype(jnp.float32)
-        posf = roi_pos.reshape(-1).astype(jnp.float32)
-        avg = jnp.maximum(validf.sum(), 1.0)
-        loss_cls = self.loss_cls_fn(
-            cls, labels_f, weight=validf * roi_weights.reshape(-1),
-            avg_factor=avg)
-        if self.reg_class_agnostic:
-            reg_sel = reg
-        else:
-            reg = reg.reshape(-1, self.num_classes, 4)
-            safe_lab = jnp.clip(labels_f, 0, self.num_classes - 1)
-            reg_sel = jnp.take_along_axis(
-                reg, safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        loss_bbox = self.loss_bbox_fn(
-            reg_sel, deltas.reshape(-1, 4),
-            weight=jnp.repeat(posf[:, None], 4, 1),
-            avg_factor=jnp.maximum(posf.sum(), 1.0) * 4.0)
-        losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+        losses = self._bbox_losses(cls, reg, rois, labels, roi_valid,
+                                   roi_pos, deltas, roi_weights,
+                                   roi_gt_inds)
         if self.mask_head is not None and 'gt_masks' in batch:
             mask_vars = self._mask_vars(variables)
             def mask_extract(img_feats, img_rois, img_valid):

@@ -173,7 +173,10 @@ class SSDHead:
         reg = jnp.concatenate([r.reshape(b, -1, 4) for r in bbox_preds], 1)
         return cls, reg
 
-    def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
+    def _loss_pieces(self, outputs, batch, featmap_sizes):
+        """Shared SSD loss machinery: assignment, per-anchor CE, hard
+        negative mining weights and per-anchor smooth-L1. PISASSDHead
+        reuses every piece and only reweights."""
         anchors = jnp.concatenate(
             self.anchor_generator.grid_anchors(featmap_sizes))
         num_lvl = self.anchor_generator.num_level_anchors(featmap_sizes)
@@ -184,9 +187,9 @@ class SSDHead:
                                        num_classes=self.num_classes)
             safe = jnp.clip(res.assigned_gt_inds, 0)
             deltas = self.coder.encode(anchors, gtb[safe])
-            return res.labels, res.pos_mask, deltas
+            return res.labels, res.pos_mask, deltas, res.assigned_gt_inds
 
-        labels, pos, deltas = jax.vmap(single)(
+        labels, pos, deltas, gt_inds = jax.vmap(single)(
             batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'])
         posf = pos.astype(jnp.float32)
         num_pos = jnp.maximum(posf.sum(), 1.0)
@@ -203,14 +206,21 @@ class SSDHead:
                                  order.shape))
         num_pos_img = posf.sum(axis=1, keepdims=True)
         neg_keep = (~pos) & (rank < self.neg_pos_ratio * num_pos_img)
-        cls_w = posf + neg_keep.astype(jnp.float32)
-        loss_cls = (ce * cls_w).sum() / num_pos
 
         diff = jnp.abs(reg_flat - deltas)
         sl1 = jnp.where(diff < self.smoothl1_beta,
                         0.5 * diff * diff / self.smoothl1_beta,
                         diff - 0.5 * self.smoothl1_beta).sum(-1)
-        loss_bbox = (sl1 * posf).sum() / num_pos
+        return dict(anchors=anchors, cls_flat=cls_flat, reg_flat=reg_flat,
+                    labels=labels, pos=pos, posf=posf, deltas=deltas,
+                    gt_inds=gt_inds, num_pos=num_pos, ce=ce,
+                    neg_keep=neg_keep, sl1=sl1)
+
+    def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
+        t = self._loss_pieces(outputs, batch, featmap_sizes)
+        cls_w = t['posf'] + t['neg_keep'].astype(jnp.float32)
+        loss_cls = (t['ce'] * cls_w).sum() / t['num_pos']
+        loss_bbox = (t['sl1'] * t['posf']).sum() / t['num_pos']
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
     def get_bboxes(self, outputs, img_hw, scale_factor=None, rescale=False,

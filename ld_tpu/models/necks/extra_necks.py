@@ -95,6 +95,7 @@ class HRFPN(nn.Module):
     out_channels: int = 256
     num_outs: int = 5
     pooling_type: str = 'AVG'
+    stride: int = 1   # fcos-HRNet recipe: stride-2 fpn convs (stride=2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +117,7 @@ class HRFPN(nn.Module):
             outs.append(pool(out, (k, k), strides=(k, k)))
         return tuple(
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                    strides=(self.stride, self.stride),
                     name=f'fpn_conv{i}', dtype=self.dtype)(o)
             for i, o in enumerate(outs))
 
