@@ -146,11 +146,15 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         state = load_checkpoint(cfg['resume_from'], state)
         logger.info(f'resumed from step {int(state.step)}')
 
+    # cfg.fsdp: ZeRO-3 params+optimizer sharding over the data axis
+    # (1/n_devices state memory per chip; all-gather-at-use inserted by
+    # XLA). No reference analogue — DDP replicates everything.
     step_fn = jit_train_step(make_train_step(detector, optimizer,
                                              has_teacher=has_teacher,
                                              remat=bool(cfg.get('remat')),
                                              seed=int(cfg.get('seed') or 0)),
-                             mesh, has_teacher=has_teacher)
+                             mesh, has_teacher=has_teacher,
+                             fsdp=bool(cfg.get('fsdp')), state=state)
 
     log_interval = log_interval or cfg.get('log_config', {}).get(
         'interval', 50)

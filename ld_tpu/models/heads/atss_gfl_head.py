@@ -29,15 +29,19 @@ class ATSSGFLHeadNet(nn.Module):
     stacked_convs: int = 4
     reg_max: int = 16
     num_levels: int = 5
+    dcn_on_last_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.cls_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                      name=f'cls_conv{i}')
-                          for i in range(self.stacked_convs)]
-        self.reg_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                      name=f'reg_conv{i}')
-                          for i in range(self.stacked_convs)]
+        last = self.stacked_convs - 1
+        self.cls_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'cls_conv{i}') for i in range(self.stacked_convs)]
+        self.reg_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'reg_conv{i}') for i in range(self.stacked_convs)]
         self.atss_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01),

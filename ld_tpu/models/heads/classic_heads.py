@@ -36,16 +36,20 @@ class FCOSHeadNet(nn.Module):
     stacked_convs: int = 4
     num_levels: int = 5
     centerness_on_reg: bool = False
+    dcn_on_last_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        cls_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                 name=f'cls_conv{i}')
-                     for i in range(self.stacked_convs)]
-        reg_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                 name=f'reg_conv{i}')
-                     for i in range(self.stacked_convs)]
+        last = self.stacked_convs - 1
+        cls_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'cls_conv{i}') for i in range(self.stacked_convs)]
+        reg_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'reg_conv{i}') for i in range(self.stacked_convs)]
         conv_cls = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1)] * 2,
                            dtype=self.dtype,
                            kernel_init=nn.initializers.normal(0.01),
@@ -96,7 +100,10 @@ class FCOSHead(FCOSGFLHead):
                            num_levels=len(self.strides_cfg),
                            centerness_on_reg=getattr(self,
                                                      'centerness_on_reg',
-                                                     False), dtype=dtype)
+                                                     False),
+                           dcn_on_last_conv=getattr(
+                               self, 'dcn_on_last_conv', False),
+                           dtype=dtype)
 
     def _fcos_core(self, outputs, batch, featmap_sizes):
         cls_scores, bbox_preds, centernesses = outputs

@@ -73,6 +73,7 @@ class FCOSGFLHead(GFLHead):
         self.center_sample_radius = center_sample_radius
         self.norm_on_bbox = norm_on_bbox
         self.centerness_on_reg = centerness_on_reg
+        self.dcn_on_last_conv = dcn_on_last_conv
         loss_cls = loss_cls or dict(type='FocalLoss', use_sigmoid=True,
                                     gamma=2.0, alpha=0.25, loss_weight=1.0)
         kwargs.setdefault('anchor_generator', dict(
@@ -91,6 +92,8 @@ class FCOSGFLHead(GFLHead):
                               num_levels=len(self.strides_cfg),
                               centerness_on_reg=getattr(
                                   self, 'centerness_on_reg', True),
+                              dcn_on_last_conv=getattr(
+                                  self, 'dcn_on_last_conv', False),
                               dtype=dtype)
 
     # ---- point geometry -------------------------------------------------------

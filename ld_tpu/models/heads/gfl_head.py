@@ -39,13 +39,21 @@ _CLS_BIAS_INIT = float(-math.log((1 - 0.01) / 0.01))  # prior prob 0.01
 class ConvGNBlock(nn.Module):
     features: int
     groups: int = 32
+    # dcn_on_last_conv variants (fcos/vfnet mdconv configs): the tower's
+    # final 3x3 becomes a modulated deformable conv
+    with_dcn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2,
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=nn.initializers.normal(0.01))(x)
+        if self.with_dcn:
+            from ld_tpu.ops.deform_conv import ModulatedDeformConv
+            x = ModulatedDeformConv(self.features, kernel_size=3,
+                                    dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2,
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.01))(x)
         # epsilon matches torch/mmcv GroupNorm (1e-5); the flax default 1e-6
         # visibly diverges on 1x1 feature maps where group variance is tiny
         x = nn.GroupNorm(num_groups=min(self.groups, self.features),

@@ -37,6 +37,7 @@ class VFNetHeadNet(nn.Module):
     reg_denoms: Tuple[float, ...] = (64, 128, 256, 512, 1024)
     bbox_norm_type: str = 'reg_denom'
     gradient_mul: float = 0.1
+    dcn_on_last_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _star_offset(self, bbox_pred, stride):
@@ -57,12 +58,15 @@ class VFNetHeadNet(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        cls_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                 name=f'cls_conv{i}')
-                     for i in range(self.stacked_convs)]
-        reg_convs = [ConvGNBlock(self.feat_channels, dtype=self.dtype,
-                                 name=f'reg_conv{i}')
-                     for i in range(self.stacked_convs)]
+        last = self.stacked_convs - 1
+        cls_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'cls_conv{i}') for i in range(self.stacked_convs)]
+        reg_convs = [ConvGNBlock(
+            self.feat_channels, dtype=self.dtype,
+            with_dcn=self.dcn_on_last_conv and i == last,
+            name=f'reg_conv{i}') for i in range(self.stacked_convs)]
         reg_conv = ConvGNBlock(self.feat_channels, dtype=self.dtype,
                                name='vfnet_reg_conv')
         vfnet_reg = nn.Conv(4, (3, 3), padding=[(1, 1)] * 2,
@@ -122,8 +126,9 @@ class VFNetHead(GFLHead):
                  regress_ranges=((-1, 64), (64, 128), (128, 256),
                                  (256, 512), (512, INF)),
                  bbox_norm_type='reg_denom', gradient_mul=0.1,
-                 use_vfl=True, loss_cls=None, loss_bbox=None,
-                 loss_bbox_refine=None, **kwargs):
+                 use_vfl=True, dcn_on_last_conv=False, loss_cls=None,
+                 loss_bbox=None, loss_bbox_refine=None, **kwargs):
+        self.dcn_on_last_conv = dcn_on_last_conv
         self._vf_strides = tuple(strides)
         self._reg_denoms = tuple(
             r[1] if r[1] < INF / 2 else r[0] * 2 for r in regress_ranges)
@@ -154,7 +159,9 @@ class VFNetHead(GFLHead):
             reg_denoms=getattr(self, '_reg_denoms',
                                (64, 128, 256, 512, 1024)),
             bbox_norm_type=getattr(self, '_bbox_norm_type', 'reg_denom'),
-            gradient_mul=getattr(self, '_gradient_mul', 0.1), dtype=dtype)
+            gradient_mul=getattr(self, '_gradient_mul', 0.1),
+            dcn_on_last_conv=getattr(self, 'dcn_on_last_conv', False),
+            dtype=dtype)
 
     def loss(self, outputs, batch, featmap_sizes) -> Dict[str, jnp.ndarray]:
         cls_scores, bbox_preds, bbox_preds_refine = outputs

@@ -108,17 +108,36 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
     return train_step
 
 
-def jit_train_step(train_step, mesh: Mesh, has_teacher: bool = False):
-    """pjit the step: batch sharded on 'data', state/teacher replicated."""
+def jit_train_step(train_step, mesh: Mesh, has_teacher: bool = False,
+                   fsdp: bool = False, state: TrainState = None):
+    """pjit the step: batch sharded on 'data'; state replicated, or — with
+    fsdp=True — ZeRO-3 sharded over the same axis (params + optimizer
+    state split along each leaf's largest divisible dim; XLA turns the
+    annotations into all-gather-at-use + reduce-scatter-on-grads). The
+    teacher stays replicated either way (gradient-free, read-only).
+    `state` (an abstract or concrete TrainState) is required for fsdp to
+    derive the per-leaf sharding tree."""
     repl = replicated(mesh)
     batch_sh = data_sharding(mesh)
-    # replicated state + batch sharded on 'data' drives the SPMD partitioning
-    # of the whole program (grads come out replicated via an ICI psum).
+    if fsdp:
+        assert state is not None, 'fsdp=True needs the TrainState pytree'
+        from .mesh import fsdp_sharding
+        state_sh = TrainState(
+            params=fsdp_sharding(mesh, state.params),
+            batch_stats=jax.tree_util.tree_map(lambda _: repl,
+                                               state.batch_stats),
+            opt_state=fsdp_sharding(mesh, state.opt_state),
+            step=repl)
+    else:
+        state_sh = repl
+    out_sh = (state_sh, repl)
     if has_teacher:
         return jax.jit(train_step,
-                       in_shardings=(repl, batch_sh, repl),
+                       in_shardings=(state_sh, batch_sh, repl),
+                       out_shardings=out_sh,
                        donate_argnums=(0, ))
-    return jax.jit(train_step, in_shardings=(repl, batch_sh),
+    return jax.jit(train_step, in_shardings=(state_sh, batch_sh),
+                   out_shardings=out_sh,
                    donate_argnums=(0, ))
 
 

@@ -286,3 +286,47 @@ def test_train_step_seed_threads_into_roi_sampling():
     l0a, l0b, l1 = one_step(0), one_step(0), one_step(1)
     assert l0a == l0b
     assert l0a != l1, (l0a, l1)
+
+
+def _run_steps_fsdp(n_devices, n_steps=3):
+    det = build_detector(_cfg())
+    mesh = create_mesh(('data', ), devices=jax.devices()[:n_devices])
+    schedule = build_lr_schedule(0.01, dict(warmup_iters=2, step=[100]),
+                                 2, 10)
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    optimizer = build_optimizer(
+        dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=1e-4),
+        schedule, variables['params'],
+        frozen_prefixes=det.frozen_param_paths())
+    state = create_train_state(det, jax.random.PRNGKey(0), optimizer,
+                               (1, 64, 96, 3))
+    step = jit_train_step(make_train_step(det, optimizer), mesh,
+                          fsdp=True, state=state)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, shard_batch(_batch(), mesh))
+        losses.append(float(metrics['loss']))
+    return losses, state
+
+
+def test_fsdp8_matches_dp1():
+    """ZeRO-3 sharding (params + optimizer state split over the data axis)
+    is a memory layout, not a numerics change: the fsdp step must track the
+    replicated 1-device run and actually shard the big parameter leaves."""
+    assert len(jax.devices()) >= 8
+    l1, s1 = _run_steps(1)
+    l8, s8 = _run_steps_fsdp(8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=2e-5)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s1.params)]
+    p8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s8.params)]
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(p1, p8))
+    assert worst < 1e-4, worst
+    # memory claim holds: at least one large leaf is genuinely sharded
+    # (addressable shard smaller than the global array)
+    sharded = 0
+    for x in jax.tree_util.tree_leaves(s8.params):
+        if hasattr(x, 'addressable_shards') and x.size >= 8:
+            shard = x.addressable_shards[0].data
+            if shard.size < x.size:
+                sharded += 1
+    assert sharded > 0
