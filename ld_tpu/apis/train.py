@@ -65,8 +65,17 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         logger.info('debug mode: jax_debug_nans enabled')
 
     dataset = dataset or build_dataset(cfg.data['train'])
-    mesh = create_mesh(('data', ))
-    n_dev = mesh.devices.size
+    # cfg.sp / cfg.tp: sizes of the spatial-partitioning and tensor-parallel
+    # mesh axes (default 1 = pure DP). With sp/tp the data-parallel world
+    # shrinks to n_devices/(sp*tp); each image is split across sp chips
+    # (H-axis halo convs) and each weight across tp chips (C_out).
+    sp_size = int(cfg.get('sp') or 1)
+    tp_size = int(cfg.get('tp') or 1)
+    if sp_size > 1 or tp_size > 1:
+        mesh = create_mesh(('data', 'sp', 'model'), (-1, sp_size, tp_size))
+    else:
+        mesh = create_mesh(('data', ))
+    n_dev = mesh.shape['data']
     samples_per_dev = cfg.data.get('samples_per_gpu', 2)
     pad_hw = cfg.get('pad_to', (800, 1344))
     # pad_to may be a list of static shape buckets (multi-scale training):
@@ -154,14 +163,17 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                                              remat=bool(cfg.get('remat')),
                                              seed=int(cfg.get('seed') or 0)),
                              mesh, has_teacher=has_teacher,
-                             fsdp=bool(cfg.get('fsdp')), state=state)
+                             fsdp=bool(cfg.get('fsdp')), state=state,
+                             sp=sp_size > 1, tp=tp_size > 1,
+                             teacher_variables=teacher_vars)
 
     log_interval = log_interval or cfg.get('log_config', {}).get(
         'interval', 50)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f'start training: {n_params/1e6:.1f}M params, '
-                f'{n_dev} devices, {steps_per_epoch} steps/epoch, '
-                f'{max_epochs} epochs')
+                f'{mesh.devices.size} devices '
+                f'(mesh {dict(mesh.shape)}), {steps_per_epoch} '
+                f'steps/epoch, {max_epochs} epochs')
 
     json_log = open(os.path.join(work_dir, 'log.json'), 'a')
     global_step = int(state.step)

@@ -45,34 +45,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_sharding(mesh: Mesh, tree, axis: str = 'data'):
-    """ZeRO-3-style per-leaf shardings: each array leaf is sharded over
-    `axis` along its LARGEST divisible dimension; leaves too small to
-    split stay replicated.
+def param_sharding(mesh: Mesh, tree, fsdp_axis: Optional[str] = None,
+                   tp_axis: Optional[str] = None):
+    """Per-leaf parameter/optimizer shardings combining two axes:
 
-    Parameters and optimizer state stored under these shardings cost
-    1/n_devices memory per chip; XLA inserts the all-gather before each
-    use and the reduce-scatter on the gradients automatically (the
-    scaling-book FSDP recipe — sharding annotations, not hand-written
-    collectives). The reference has no analogue (DDP replicates
-    everything); this is the TPU-native upgrade for teachers/students too
-    big to replicate.
-    """
-    n = mesh.shape[axis]
+    * ``tp_axis`` — tensor parallelism: the LAST divisible dimension of
+      each leaf is sharded (conv kernels split on C_out, dense kernels on
+      features, biases/BN vectors on their only dim). Megatron-style
+      weight-stationary layout: activations pick up the channel sharding
+      by GSPMD propagation and XLA inserts the psum/all-gather where
+      consecutive layers disagree.
+    * ``fsdp_axis`` — ZeRO-3: the LARGEST remaining divisible dimension
+      is sharded. Pure memory layout (1/n state per chip); XLA inserts
+      all-gather-at-use + reduce-scatter-on-grads (the scaling-book FSDP
+      recipe — sharding annotations, not hand-written collectives).
+
+    Both compose on one leaf (different dims, different mesh axes).
+    Leaves too small to split stay replicated. The reference has no
+    analogue (DDP replicates everything)."""
+    nf = mesh.shape[fsdp_axis] if fsdp_axis else 1
+    nt = mesh.shape[tp_axis] if tp_axis else 1
 
     def leaf(x):
         shape = getattr(x, 'shape', ())
-        best, best_size = None, 0
-        for i, d in enumerate(shape):
-            if d % n == 0 and d >= n and d > best_size:
-                best, best_size = i, d
-        if best is None:
-            return NamedSharding(mesh, P())
         spec = [None] * len(shape)
-        spec[best] = axis
+        if tp_axis and nt > 1:
+            for i in reversed(range(len(shape))):
+                if shape[i] % nt == 0 and shape[i] >= nt:
+                    spec[i] = tp_axis
+                    break
+        if fsdp_axis and nf > 1:
+            best, best_size = None, 0
+            for i, d in enumerate(shape):
+                if spec[i] is None and d % nf == 0 and d >= nf \
+                        and d > best_size:
+                    best, best_size = i, d
+            if best is not None:
+                spec[best] = fsdp_axis
+        if not any(spec):
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(leaf, tree)
+
+
+def fsdp_sharding(mesh: Mesh, tree, axis: str = 'data'):
+    """ZeRO-3-only shardings (see param_sharding)."""
+    return param_sharding(mesh, tree, fsdp_axis=axis)
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:

@@ -109,31 +109,78 @@ def make_train_step(detector, optimizer, has_teacher: bool = False,
 
 
 def jit_train_step(train_step, mesh: Mesh, has_teacher: bool = False,
-                   fsdp: bool = False, state: TrainState = None):
-    """pjit the step: batch sharded on 'data'; state replicated, or — with
-    fsdp=True — ZeRO-3 sharded over the same axis (params + optimizer
-    state split along each leaf's largest divisible dim; XLA turns the
-    annotations into all-gather-at-use + reduce-scatter-on-grads). The
-    teacher stays replicated either way (gradient-free, read-only).
-    `state` (an abstract or concrete TrainState) is required for fsdp to
-    derive the per-leaf sharding tree."""
+                   fsdp: bool = False, state: TrainState = None,
+                   sp: bool = False, tp: bool = False,
+                   teacher_variables=None):
+    """pjit the step over the mesh. Parallelism axes (all composable):
+
+    * batch dim sharded over 'data' (plain DP);
+    * fsdp=True — ZeRO-3: params + optimizer state split along each
+      leaf's largest divisible dim over 'data' (all-gather-at-use +
+      reduce-scatter-on-grads inserted by XLA);
+    * sp=True — spatial partitioning: the image H axis is sharded over
+      the 'sp' mesh axis (GSPMD halo exchange on every conv). THE
+      TPU-native way to scale 800x1344 detection past per-chip activation
+      memory / latency — the reference has no analogue (NCCL DDP cannot
+      split one image across GPUs);
+    * tp=True — tensor parallelism: every param leaf's last divisible
+      dim (C_out) is sharded over the 'model' axis — student, optimizer
+      state AND the read-only teacher (pass `teacher_variables` to derive
+      its tree), so a big teacher costs 1/n_model memory per chip.
+
+    `state` (abstract or concrete TrainState) is required for fsdp/tp to
+    derive per-leaf sharding trees.
+
+    sp and tp are mutually exclusive for now: composing them miscomputes
+    under the current XLA CPU SPMD partitioner (minimal repro: ONE
+    conv_general_dilated with H-sharded activations and C_out-sharded
+    weights returns garbage, diff == scale, while either sharding alone —
+    or C_in-sharded weights — is exact to 1e-6; see
+    tests/test_parallel.py::test_sp_tp_composition_guard). Each axis is
+    numerics-validated against the replicated step independently."""
+    from .mesh import param_sharding
+    if sp and tp:
+        raise NotImplementedError(
+            'sp (spatial partitioning) and tp (tensor parallelism) cannot '
+            'be composed yet: XLA SPMD miscompiles convolutions whose '
+            'activations are spatially sharded AND whose weights are '
+            'C_out-sharded (verified by minimal repro, see '
+            'jit_train_step docstring). Use sp or tp, each composable '
+            'with dp and fsdp.')
     repl = replicated(mesh)
     batch_sh = data_sharding(mesh)
-    if fsdp:
-        assert state is not None, 'fsdp=True needs the TrainState pytree'
-        from .mesh import fsdp_sharding
+    if sp:
+        assert 'sp' in mesh.axis_names, mesh.axis_names
+        sp_sh = NamedSharding(mesh, P('data', 'sp'))
+        inner_step = train_step
+
+        def train_step(state, batch, *rest):  # noqa: F811
+            batch = dict(batch, image=jax.lax.with_sharding_constraint(
+                batch['image'], sp_sh))
+            return inner_step(state, batch, *rest)
+
+    if tp:
+        assert 'model' in mesh.axis_names, mesh.axis_names
+    if fsdp or tp:
+        assert state is not None, 'fsdp/tp need the TrainState pytree'
+        kw = dict(fsdp_axis='data' if fsdp else None,
+                  tp_axis='model' if tp else None)
         state_sh = TrainState(
-            params=fsdp_sharding(mesh, state.params),
+            params=param_sharding(mesh, state.params, **kw),
             batch_stats=jax.tree_util.tree_map(lambda _: repl,
                                                state.batch_stats),
-            opt_state=fsdp_sharding(mesh, state.opt_state),
+            opt_state=param_sharding(mesh, state.opt_state, **kw),
             step=repl)
     else:
         state_sh = repl
+    teacher_sh = repl
+    if tp and has_teacher and teacher_variables is not None:
+        teacher_sh = param_sharding(mesh, teacher_variables,
+                                    tp_axis='model')
     out_sh = (state_sh, repl)
     if has_teacher:
         return jax.jit(train_step,
-                       in_shardings=(state_sh, batch_sh, repl),
+                       in_shardings=(state_sh, batch_sh, teacher_sh),
                        out_shardings=out_sh,
                        donate_argnums=(0, ))
     return jax.jit(train_step, in_shardings=(state_sh, batch_sh),
