@@ -240,6 +240,10 @@ class ResNet(nn.Module):
                       self.dtype)(x, train)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        # under an sp trace: pin the stem output to the spatial layout
+        # (high-res stages are where spatial partitioning pays)
+        from ld_tpu.utils.act_sharding import reshard_stage
+        x = reshard_stage(x, -1)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 
@@ -288,6 +292,12 @@ class ResNet(nn.Module):
                         kwargs['with_sac'] = True
                 x = block_cls(**kwargs)(x, train)
             in_planes = planes * getattr(block_cls, 'expansion', 1)
+            # under an sp trace: stage outputs < gather_stage stay
+            # spatially sharded, later ones gather to the batch-only
+            # layout — one 'sp' all-gather at the last high-res boundary;
+            # deep small maps + FPN + head then run data-parallel (see
+            # utils/act_sharding.sp_stage_scope for the why)
+            x = reshard_stage(x, stage)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:

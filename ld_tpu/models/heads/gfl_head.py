@@ -105,10 +105,16 @@ class GFLHeadNet(nn.Module):
 
 
 def flatten_levels(xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """[(B, H, W, C)] per level -> (B, sum(H*W), C), row-major per level."""
+    """[(B, H, W, C)] per level -> (B, sum(H*W), C), row-major per level.
+
+    Under an sp (spatially-partitioned) trace the result is resharded to
+    batch-only layout here — see ld_tpu/utils/act_sharding.py — so loss
+    numerics are identical to the data-parallel step."""
+    from ld_tpu.utils.act_sharding import reshard_for_loss
     b = xs[0].shape[0]
-    return jnp.concatenate([x.reshape(b, -1, x.shape[-1]) for x in xs],
-                           axis=1)
+    return reshard_for_loss(
+        jnp.concatenate([x.reshape(b, -1, x.shape[-1]) for x in xs],
+                        axis=1))
 
 
 @HEADS.register_module()

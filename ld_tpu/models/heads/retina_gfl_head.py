@@ -31,11 +31,15 @@ from .gfl_head import GFLHead, _CLS_BIAS_INIT
 
 def flatten_levels_anchors(xs: Sequence[jnp.ndarray], per_anchor: int
                            ) -> jnp.ndarray:
-    """[(B, H, W, A*c)] -> (B, sum(H*W*A), c)."""
+    """[(B, H, W, A*c)] -> (B, sum(H*W*A), c).
+
+    Resharded to batch-only layout under an sp trace (one all-gather over
+    'sp' here keeps all loss math in the dp layout — act_sharding.py)."""
+    from ld_tpu.utils.act_sharding import reshard_for_loss
     b = xs[0].shape[0]
-    return jnp.concatenate([
+    return reshard_for_loss(jnp.concatenate([
         x.reshape(b, -1, per_anchor) for x in xs
-    ], axis=1)
+    ], axis=1))
 
 
 class RetinaGFLHeadNet(nn.Module):

@@ -46,7 +46,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def param_sharding(mesh: Mesh, tree, fsdp_axis: Optional[str] = None,
-                   tp_axis: Optional[str] = None):
+                   tp_axis: Optional[str] = None,
+                   exclude_substrings: Sequence[str] = ()):
     """Per-leaf parameter/optimizer shardings combining two axes:
 
     * ``tp_axis`` — tensor parallelism: the LAST divisible dimension of
@@ -62,13 +63,28 @@ def param_sharding(mesh: Mesh, tree, fsdp_axis: Optional[str] = None,
 
     Both compose on one leaf (different dims, different mesh axes).
     Leaves too small to split stay replicated. The reference has no
-    analogue (DDP replicates everything)."""
+    analogue (DDP replicates everything).
+
+    ``exclude_substrings`` — keystr substrings of leaves that must stay
+    REPLICATED regardless of the fsdp/tp rules. Used when composing with
+    spatial partitioning: the current XLA SPMD partitioner produces wrong
+    results for convolutions whose activations are H-sharded AND whose
+    weights are channel-sharded (bisected leaf-class by leaf-class in
+    tests/test_parallel.py — a pure forward drifts 1.5-2.8e-3 depending on
+    the sharded dim), so every param of an sp-resident backbone stage
+    (utils/act_sharding.sp_resident_param_patterns) is kept replicated.
+    Those are the shallow high-res stages — a small fraction of the
+    parameters, so ZeRO-3 keeps nearly all of its memory win."""
     nf = mesh.shape[fsdp_axis] if fsdp_axis else 1
     nt = mesh.shape[tp_axis] if tp_axis else 1
 
-    def leaf(x):
+    def leaf(path, x):
         shape = getattr(x, 'shape', ())
         spec = [None] * len(shape)
+        if exclude_substrings:
+            ks = jax.tree_util.keystr(path)
+            if any(pat in ks for pat in exclude_substrings):
+                return NamedSharding(mesh, P())
         if tp_axis and nt > 1:
             for i in reversed(range(len(shape))):
                 if shape[i] % nt == 0 and shape[i] >= nt:
@@ -86,7 +102,7 @@ def param_sharding(mesh: Mesh, tree, fsdp_axis: Optional[str] = None,
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(leaf, tree)
+    return jax.tree_util.tree_map_with_path(leaf, tree)
 
 
 def fsdp_sharding(mesh: Mesh, tree, axis: str = 'data'):

@@ -149,22 +149,43 @@ def jit_train_step(train_step, mesh: Mesh, has_teacher: bool = False,
             'with dp and fsdp.')
     repl = replicated(mesh)
     batch_sh = data_sharding(mesh)
+    sp_gather_stage = 1
     if sp:
         assert 'sp' in mesh.axis_names, mesh.axis_names
         sp_sh = NamedSharding(mesh, P('data', 'sp'))
+        # Layout policy (see utils/act_sharding.py): the image and the
+        # high-res backbone stages (stem..layer{gather_stage+1}) run
+        # (data, sp)-sharded — that is where the activation memory and conv
+        # FLOPs live; ONE all-gather over 'sp' at the gather_stage boundary
+        # puts the deep small maps, FPN, head and loss in the plain dp
+        # layout. Besides being the right cost model (halo overhead
+        # dominates on small maps), this dodges two bisected XLA SPMD
+        # partitioner bugs: wrong kernel grads for convs on small H-sharded
+        # maps, and wrong forwards for channel-sharded weights + H-sharded
+        # activations (why fsdp/tp leave sp-resident params replicated).
+        loss_sh = NamedSharding(mesh, P('data'))
         inner_step = train_step
 
         def train_step(state, batch, *rest):  # noqa: F811
+            from ld_tpu.utils.act_sharding import (loss_sharding_scope,
+                                                   sp_stage_scope)
             batch = dict(batch, image=jax.lax.with_sharding_constraint(
                 batch['image'], sp_sh))
-            return inner_step(state, batch, *rest)
+            with sp_stage_scope(sp_sh, loss_sh, sp_gather_stage), \
+                    loss_sharding_scope(loss_sh):
+                return inner_step(state, batch, *rest)
 
     if tp:
         assert 'model' in mesh.axis_names, mesh.axis_names
     if fsdp or tp:
         assert state is not None, 'fsdp/tp need the TrainState pytree'
+        from ld_tpu.utils.act_sharding import sp_resident_param_patterns
         kw = dict(fsdp_axis='data' if fsdp else None,
-                  tp_axis='model' if tp else None)
+                  tp_axis='model' if tp else None,
+                  # sharded weights + H-sharded activations miscompile
+                  # under SPMD: sp-resident stage params stay replicated
+                  exclude_substrings=(sp_resident_param_patterns(
+                      sp_gather_stage) if sp else ()))
         state_sh = TrainState(
             params=param_sharding(mesh, state.params, **kw),
             batch_stats=jax.tree_util.tree_map(lambda _: repl,

@@ -345,6 +345,69 @@ def test_sp_fsdp_matches_dp1():
     assert worst < 1e-4, worst
 
 
+def test_sp_grads_match_dp1():
+    """Per-leaf GRADIENT exactness under sp (+fsdp) vs 1 device. A
+    forward-only loss check cannot see this: round-2 shipped an sp path
+    whose layer3/4 kernel grads were wrong by 8e-3 absolute (XLA SPMD
+    partitioner miscomputes the backward of convs on small H-sharded
+    maps) while the first-step loss matched to 1e-6. The stage-boundary
+    gather (utils/act_sharding.sp_stage_scope) keeps deep stages in the
+    dp layout, which must make every grad leaf match to fp tolerance."""
+    assert len(jax.devices()) >= 8
+    import optax
+    from ld_tpu.parallel.train_step import create_train_state
+
+    det = build_detector(_cfg())
+    opt = optax.sgd(0.0)  # lr 0: params don't move, metrics carry the loss
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               (1, 64, 96, 3))
+    batch = _batch()
+
+    def loss_fn(params, b):
+        variables = {'params': params, 'batch_stats': state.batch_stats}
+        losses = det.forward_train(variables, b)
+        return sum(jnp.asarray(v) for k, v in losses.items() if 'loss' in k)
+
+    g1 = jax.jit(jax.grad(loss_fn))(state.params, dict(batch))
+    g1 = jax.tree_util.tree_map(np.asarray, g1)
+
+    mesh = create_mesh(('data', 'sp'), (4, 2), devices=jax.devices()[:8])
+    step = jit_train_step(make_train_step(det, opt), mesh, sp=True,
+                          fsdp=True, state=state)
+    # recover grads from the sgd(0) step: with lr 0 updates are zero, so
+    # instead grab them via a dedicated jit mirroring the sp wrapper
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ld_tpu.parallel.mesh import param_sharding, data_sharding
+    from ld_tpu.utils.act_sharding import (loss_sharding_scope,
+                                           sp_stage_scope,
+                                           sp_resident_param_patterns)
+    sp_sh = NamedSharding(mesh, P('data', 'sp'))
+    dp_sh = NamedSharding(mesh, P('data'))
+    params_sh = param_sharding(
+        mesh, state.params, fsdp_axis='data',
+        exclude_substrings=sp_resident_param_patterns(1))
+
+    def grad_sp(params, b):
+        b = dict(b, image=jax.lax.with_sharding_constraint(
+            b['image'], sp_sh))
+        with sp_stage_scope(sp_sh, dp_sh, 1), loss_sharding_scope(dp_sh):
+            return jax.grad(loss_fn)(params, b)
+
+    g8 = jax.jit(grad_sp, in_shardings=(params_sh, data_sharding(mesh)),
+                 out_shardings=params_sh)(
+        jax.device_put(state.params, params_sh),
+        shard_batch(_batch(), mesh))
+    g8 = jax.tree_util.tree_map(np.asarray, g8)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat8 = jax.tree_util.tree_flatten_with_path(g8)[0]
+    for (path, a), (_, b) in zip(flat1, flat8):
+        scale = float(np.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            a, b, atol=2e-5 * max(scale, 1.0),
+            err_msg=jax.tree_util.keystr(path))
+    assert step is not None
+
+
 def test_tp_fsdp_matches_dp1():
     """Tensor parallelism (every weight's last divisible dim — C_out —
     split across the 'model' axis, Megatron-style weight-stationary layout)
