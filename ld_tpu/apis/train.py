@@ -26,7 +26,7 @@ from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
                              make_train_step, shard_batch)
 from ld_tpu.utils.checkpoint import (load_checkpoint, load_variables,
                                      load_torch_checkpoint, save_checkpoint,
-                                     save_variables)
+                                     save_variables, validate_variables)
 from ld_tpu.utils.logging import get_root_logger
 
 
@@ -42,10 +42,17 @@ def _load_teacher_variables(detector, cfg, logger, rng, input_shape):
     if ckpt and os.path.exists(str(ckpt)):
         logger.info(f'loading teacher checkpoint {ckpt}')
         if str(ckpt).endswith('.pth'):
+            # strict: raises on unconvertible torch keys (a partially-
+            # mapped teacher silently trains against garbage targets)
             variables = load_torch_checkpoint(str(ckpt))
             variables.pop('_unmapped', None)
-            return variables
-        return load_variables(str(ckpt))
+        else:
+            variables = load_variables(str(ckpt))
+        # shape-verify against the model's teacher tree before training
+        template = jax.eval_shape(
+            lambda: detector.init_teacher_variables(rng, input_shape))
+        return validate_variables(variables, template,
+                                  what=f'teacher checkpoint {ckpt}')
     logger.warning('teacher checkpoint missing — random-init teacher '
                    f'({ckpt}); distillation targets are untrained!')
     return detector.init_teacher_variables(rng, input_shape)

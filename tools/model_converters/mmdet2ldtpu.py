@@ -34,7 +34,8 @@ def main():
 
     from ld_tpu.utils.checkpoint import (load_torch_checkpoint,
                                          save_variables)
-    variables = load_torch_checkpoint(args.src, num_laterals=args.laterals,
+    variables = load_torch_checkpoint(args.src, strict=False,
+                                      num_laterals=args.laterals,
                                       num_levels=args.levels)
     unmapped = variables.pop('_unmapped', [])
     if unmapped:
