@@ -82,6 +82,7 @@ class CocoDataset:
             info = dict(id=img['id'], filename=img['file_name'],
                         width=img['width'], height=img['height'])
             bboxes, labels, ignore, polys = [], [], [], []
+            areas, ig_labels, ig_areas = [], [], []
             for a in anns_by_img.get(img['id'], []):
                 if a.get('ignore', False):
                     continue
@@ -93,17 +94,26 @@ class CocoDataset:
                 if a['category_id'] not in self.cat_id_to_label:
                     continue
                 box = [x, y, x + w, y + h]
+                # the json 'area' (segmentation area on real COCO) drives
+                # pycocotools' small/medium/large gt filtering — carry it
+                area = float(a.get('area', w * h))
                 if a.get('iscrowd', False):
                     ignore.append(box)
+                    ig_labels.append(self.cat_id_to_label[a['category_id']])
+                    ig_areas.append(area)
                 else:
                     bboxes.append(box)
                     labels.append(self.cat_id_to_label[a['category_id']])
+                    areas.append(area)
                     seg = a.get('segmentation')
                     polys.append(seg if isinstance(seg, list) else None)
             ann = dict(
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int64),
                 bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+                labels_ignore=np.asarray(ig_labels, np.int64),
+                areas=np.asarray(areas, np.float64),
+                areas_ignore=np.asarray(ig_areas, np.float64),
                 masks=polys)
             self.img_infos.append(info)
             self.annotations.append(ann)

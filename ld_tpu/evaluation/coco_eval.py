@@ -53,13 +53,18 @@ def _iou_xyxy(dets: np.ndarray, gts: np.ndarray,
 
 
 def _match_single(det_boxes, det_scores, gt_boxes, gt_crowd, area_rng,
-                  max_det):
+                  max_det, gt_areas=None):
     """Greedy matching for one (image, category, area-range).
 
     Returns (dtm, dt_ignore, scores, npig):
       dtm: (T, D) matched-gt flag per IoU threshold (1 matched-to-counted gt),
       dt_ignore: (T, D) detection ignored,
       npig: number of counted (non-ignored) gts.
+
+    `gt_areas`: the annotation 'area' field when the dataset carries it —
+    pycocotools filters gts by SEGMENTATION area, not box area
+    (cocoeval.py evaluateImg: g['area'] from the json record); falls back
+    to box area when absent (synthetic fixtures).
 
     Dispatches to the C++ kernel (ld_tpu/native/coco_match.cpp) when built;
     the numpy path below is the behavioural reference.
@@ -70,10 +75,12 @@ def _match_single(det_boxes, det_scores, gt_boxes, gt_crowd, area_rng,
     det_scores = det_scores[order]
     D = len(det_boxes)
 
-    gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
-        (gt_boxes[:, 3] - gt_boxes[:, 1]) if len(gt_boxes) else \
-        np.zeros((0, ))
-    gt_ignore = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+    if gt_areas is None:
+        gt_areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
+            (gt_boxes[:, 3] - gt_boxes[:, 1]) if len(gt_boxes) else \
+            np.zeros((0, ))
+    gt_ignore = gt_crowd | (gt_areas < area_rng[0]) | \
+        (gt_areas > area_rng[1])
     # counted gts first, ignored last (pycocotools sort by ignore flag)
     g_order = np.argsort(gt_ignore, kind='mergesort')
     gt_boxes = gt_boxes[g_order]
@@ -175,17 +182,34 @@ class CocoEvaluator:
                 m = labels == c
                 per_img_cls_det[(i, c)] = (boxes[m, :4], boxes[m, 4])
             ann = self.dataset.get_ann_info(i)
+            ann_areas = ann.get('areas')
             for c in np.unique(ann['labels']).astype(int):
                 m = ann['labels'] == c
-                gts_by_img_cls[(i, c)] = ann['bboxes'][m].astype(np.float64)
+                gts_by_img_cls[(i, c)] = (
+                    ann['bboxes'][m].astype(np.float64),
+                    np.asarray(ann_areas, np.float64)[m]
+                    if ann_areas is not None else None)
                 cls_present.add(c)
             ignore = ann.get('bboxes_ignore', np.zeros((0, 4)))
             if len(ignore):
-                # crowd boxes count against every class they were labeled as;
-                # the reference parser stores them classless -> attach to all
-                # classes present in the image (conservative approximation
-                # only used when crowd anns lack labels)
-                gts_by_img_cls[(i, -1)] = ignore.astype(np.float64)
+                ig_labels = ann.get('labels_ignore')
+                ig_areas = ann.get('areas_ignore')
+                if ig_labels is not None:
+                    # per-category crowd regions — the pycocotools protocol
+                    # (crowd anns carry category_id and only ignore dets of
+                    # that class, cocoeval.py _prepare/evaluateImg)
+                    ig_labels = np.asarray(ig_labels)
+                    for c in np.unique(ig_labels).astype(int):
+                        m = ig_labels == c
+                        gts_by_img_cls[(i, -1 - c)] = (
+                            np.asarray(ignore, np.float64)[m],
+                            np.asarray(ig_areas, np.float64)[m]
+                            if ig_areas is not None else None)
+                else:
+                    # classless crowds (parsers that drop category_id):
+                    # attach to all classes present — conservative fallback
+                    gts_by_img_cls[(i, None)] = (
+                        ignore.astype(np.float64), None)
             cls_present.update(np.unique(labels).astype(int).tolist())
 
         T, R, K = len(IOU_THRS), len(REC_THRS), self.num_classes
@@ -201,10 +225,14 @@ class CocoEvaluator:
                     dtm_all, dtig_all, scores_all = [], [], []
                     npig = 0
                     for i in range(num_imgs):
-                        gt = gts_by_img_cls.get((i, k),
-                                                np.zeros((0, 4)))
-                        crowd = gts_by_img_cls.get((i, -1),
-                                                   np.zeros((0, 4)))
+                        gt, gt_areas = gts_by_img_cls.get(
+                            (i, k), (np.zeros((0, 4)), None))
+                        # per-class crowds under (i, -1-k); classless
+                        # fallback under (i, None) applies to every class
+                        crowd, crowd_areas = gts_by_img_cls.get(
+                            (i, -1 - k),
+                            gts_by_img_cls.get((i, None),
+                                               (np.zeros((0, 4)), None)))
                         det_b, det_s = per_img_cls_det[(i, k)]
                         if len(gt) == 0 and len(det_b) == 0 and \
                                 len(crowd) == 0:
@@ -215,8 +243,19 @@ class CocoEvaluator:
                             np.zeros(len(gt), bool),
                             np.ones(len(crowd), bool)
                         ]) if len(crowd) else np.zeros(len(gt), bool)
+                        if gt_areas is not None or crowd_areas is not None:
+                            def _a(boxes, areas):
+                                if areas is not None:
+                                    return areas
+                                return (boxes[:, 2] - boxes[:, 0]) * \
+                                    (boxes[:, 3] - boxes[:, 1])
+                            areas = np.concatenate(
+                                [_a(gt, gt_areas), _a(crowd, crowd_areas)])
+                        else:
+                            areas = None
                         dtm, dtig, s, n = _match_single(
-                            det_b, det_s, gtb, crowd_flag, arng, max_det)
+                            det_b, det_s, gtb, crowd_flag, arng, max_det,
+                            gt_areas=areas)
                         dtm_all.append(dtm)
                         dtig_all.append(dtig)
                         scores_all.append(s)
