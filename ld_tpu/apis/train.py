@@ -145,7 +145,9 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         src = str(cfg['load_from'])
         logger.info(f'loading weights from {src}')
         if src.endswith('.pth'):
-            loaded = load_torch_checkpoint(src)
+            # lenient by design (reference load_checkpoint logs missing/
+            # unexpected for student fine-tune init); teachers stay strict
+            loaded = load_torch_checkpoint(src, strict=False)
             unmapped = loaded.pop('_unmapped', [])
             if unmapped:
                 logger.warning(
