@@ -25,8 +25,9 @@ from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
                              create_train_state, jit_train_step,
                              make_train_step, shard_batch)
 from ld_tpu.utils.checkpoint import (load_checkpoint, load_variables,
-                                     load_torch_checkpoint, save_checkpoint,
-                                     save_variables, validate_variables)
+                                     load_torch_checkpoint, merge_variables,
+                                     save_checkpoint, save_variables,
+                                     validate_variables)
 from ld_tpu.utils.logging import get_root_logger
 
 
@@ -157,9 +158,21 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                     'tools/model_converters/mmdet2ldtpu.py to audit')
         else:
             loaded = load_variables(src)
-        state = state._replace(
-            params=loaded['params'],
-            batch_stats=loaded.get('batch_stats', state.batch_stats))
+        # overlay onto the fresh init: leaves absent from the checkpoint
+        # (or shape-mismatched, e.g. a different num_classes head) keep
+        # their init — mmcv load_checkpoint strict=False fine-tune behavior
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        batch_stats = jax.tree_util.tree_map(lambda x: x, state.batch_stats)
+        n_ok, skipped = merge_variables(params, loaded['params'])
+        bs_ok, bs_skip = merge_variables(batch_stats,
+                                         loaded.get('batch_stats', {}))
+        if skipped or bs_skip:
+            logger.warning(
+                f'load_from: {len(skipped) + len(bs_skip)} checkpoint '
+                f'leaves skipped (missing/shape-mismatched in the model; '
+                f'first few: {(skipped + bs_skip)[:5]})')
+        logger.info(f'load_from: {len(n_ok)} param leaves loaded')
+        state = state._replace(params=params, batch_stats=batch_stats)
     if cfg.get('resume_from'):
         state = load_checkpoint(cfg['resume_from'], state)
         logger.info(f'resumed from step {int(state.step)}')

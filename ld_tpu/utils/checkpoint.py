@@ -409,6 +409,34 @@ def validate_variables(variables: Dict, template: Dict,
     return variables
 
 
+def merge_variables(dst: Dict, src: Dict, _path: str = ''):
+    """Overlay `src` leaves onto a (fresh-init) `dst` tree, in place.
+
+    Returns (loaded_paths, skipped) where `skipped` lists src paths whose
+    leaf is missing in dst or shape-mismatched (those keep dst's value) —
+    mmcv load_checkpoint's lenient strict=False semantics for student
+    fine-tune init (`load_from`)."""
+    loaded, skipped = [], []
+    for key, val in src.items():
+        path = f'{_path}/{key}'
+        if isinstance(val, dict):
+            if not isinstance(dst.get(key), dict):
+                skipped.append(f'{path}/...')
+                continue
+            sub_l, sub_s = merge_variables(dst[key], val, path)
+            loaded.extend(sub_l)
+            skipped.extend(sub_s)
+        else:
+            cur = dst.get(key)
+            if cur is None or getattr(cur, 'shape', None) != \
+                    getattr(val, 'shape', None):
+                skipped.append(path)
+                continue
+            dst[key] = jnp.asarray(val, getattr(cur, 'dtype', None))
+            loaded.append(path)
+    return loaded, skipped
+
+
 def load_torch_checkpoint(path: str, strict: bool = True, **kwargs) -> Dict:
     """Load a .pth file (CPU) and convert. Accepts mmdet checkpoints
     ({'state_dict': ...}) and raw state dicts.

@@ -552,3 +552,22 @@ def test_teacher_load_hard_fails_on_partial_checkpoint(tmp_path):
     with pytest.raises(ValueError):
         _load_teacher_variables(det, Cfg(), logger, jax.random.PRNGKey(0),
                                 (1, 64, 64, 3))
+
+
+def test_merge_variables_partial_overlay():
+    """load_from leniency: checkpoint leaves overlay the fresh init; leaves
+    missing from the checkpoint (or shape-mismatched, e.g. a different
+    num_classes head) keep their init (mmcv load_checkpoint strict=False)."""
+    from ld_tpu.utils.checkpoint import merge_variables
+    dst = {'backbone': {'conv1': {'kernel': np.ones((3, 3, 3, 8))},
+                        'norm1': {'bn': {'scale': np.ones((8, ))}}},
+           'head_net': {'gfl_cls': {'kernel': np.ones((3, 3, 8, 4))}}}
+    src = {'backbone': {'conv1': {'kernel': np.zeros((3, 3, 3, 8))}},
+           'head_net': {'gfl_cls': {'kernel': np.zeros((3, 3, 8, 2))}},
+           'stray': {'leaf': np.zeros((1, ))}}
+    loaded, skipped = merge_variables(dst, src)
+    assert loaded == ['/backbone/conv1/kernel']
+    assert sorted(skipped) == ['/head_net/gfl_cls/kernel', '/stray/...']
+    assert float(np.asarray(dst['backbone']['conv1']['kernel']).max()) == 0
+    assert dst['head_net']['gfl_cls']['kernel'].max() == 1  # kept init
+    assert dst['backbone']['norm1']['bn']['scale'].max() == 1
