@@ -34,8 +34,7 @@ def _cfg(**over):
                                   dict(tp=2, fsdp=True)])
 def test_train_detector_parallel_knobs(tmp_path, knob):
     from ld_tpu.apis.train import train_detector
-    metrics = train_detector(_cfg(**knob), str(tmp_path), max_steps=2)
-    scalars = {k: v for k, v in metrics.items()
-               if isinstance(v, (int, float))}
-    assert scalars and all(math.isfinite(v) for v in scalars.values()), \
-        (knob, metrics)
+    ret = train_detector(_cfg(**knob), str(tmp_path), max_steps=2)
+    assert ret['metrics'], (knob, ret)
+    assert all(math.isfinite(v) for v in ret['metrics'].values()), \
+        (knob, ret['metrics'])
