@@ -29,5 +29,14 @@ class DeepFashionDataset(CocoDataset):
 
 @DATASETS.register_module()
 class WIDERFaceDataset(VOCDataset):
-    """Single-class face detection in the VOC/XML annotation layout."""
+    """Single-class face detection in the VOC/XML annotation layout.
+
+    WIDER's VOC-style conversion stores images under the event-name
+    directory given by the XML <folder> element, not JPEGImages/
+    (reference wider_face.py:44-48)."""
     CLASSES = ('face', )
+
+    def _filename(self, img_id, xml_root):
+        import os
+        folder = xml_root.find('folder').text
+        return os.path.join(folder, f'{img_id}.jpg')
