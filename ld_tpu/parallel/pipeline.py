@@ -75,11 +75,15 @@ def gpipe(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
             # stage idx-1's output for microbatch t-idx
             inp = jnp.where(idx == 0, xs[jnp.minimum(t, m - 1)], state)
             y = stage_fn(params, inp)
-            # the last stage finishes microbatch t-(S-1) at tick t
-            slot = t - (s - 1)
-            updated = jax.lax.dynamic_update_slice_in_dim(
-                outs, y[None], jnp.clip(slot, 0, m - 1), axis=0)
-            outs = jnp.where((idx == s - 1) & (slot >= 0), updated, outs)
+            # the last stage finishes microbatch t-(S-1) at tick t.
+            # Read-modify-write ONE slot: masking the single slice (not a
+            # full-buffer where) keeps per-tick write traffic O(slice)
+            # instead of O(M) — O(M) vs O(M^2) over the schedule.
+            slot = jnp.clip(t - (s - 1), 0, m - 1)
+            cur = jax.lax.dynamic_slice_in_dim(outs, slot, 1, axis=0)
+            write = (idx == s - 1) & (t >= s - 1)
+            outs = jax.lax.dynamic_update_slice_in_dim(
+                outs, jnp.where(write, y[None], cur), slot, axis=0)
             state = jax.lax.ppermute(
                 y, axis, [(i, (i + 1) % s) for i in range(s)])
             return (state, outs), None

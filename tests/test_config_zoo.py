@@ -10,6 +10,9 @@ import ld_tpu  # noqa: F401
 from ld_tpu import Config
 from ld_tpu.models import build_detector
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
+
 ROOT = os.path.join(os.path.dirname(__file__), '..', 'configs')
 CONFIGS = sorted(
     p for p in glob.glob(os.path.join(ROOT, '**', '*.py'), recursive=True)

@@ -5,6 +5,7 @@ tested'); this exercises the full stack — data loader, assignment, losses,
 optimizer with warmup schedule and frozen-backbone masking, pjit step — and
 asserts the loss actually decreases.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,8 @@ from ld_tpu.data import SyntheticDetectionDataset, DataLoader
 from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
                              create_train_state, jit_train_step,
                              make_train_step, shard_batch)
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
 
 
 def _tiny_cfg():

@@ -8,6 +8,9 @@ import pytest
 import ld_tpu  # noqa: F401
 from ld_tpu.models import build_detector
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
+
 
 def test_rle_roundtrip():
     from ld_tpu.evaluation.segm_eval import (encode_mask_results,

@@ -10,6 +10,9 @@ import pytest
 import ld_tpu  # noqa: F401
 from ld_tpu.models import build_detector
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
+
 rs = np.random.RandomState(0)
 B, G = 1, 4
 gt = np.zeros((B, G, 4), np.float32)

@@ -14,6 +14,8 @@ from ld_tpu.parallel import (build_lr_schedule, build_optimizer, create_mesh,
                              create_train_state, jit_train_step,
                              make_train_step, shard_batch, frozen_mask)
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
 
 def _cfg():
     return dict(

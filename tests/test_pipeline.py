@@ -8,6 +8,9 @@ import pytest
 from ld_tpu.parallel import create_mesh
 from ld_tpu.parallel.pipeline import gpipe
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
+
 
 def _stage(params, x):
     w, b = params

@@ -14,6 +14,9 @@ import pytest
 
 from ld_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from -m "not slow"
+
+
 
 def _cfg(**over):
     cfg = Config.fromfile('configs/synthetic/gfl_r18_synthetic.py')
