@@ -190,9 +190,15 @@ ARCH_SETTINGS = {
 
 @BACKBONES.register_module()
 class ResNet(nn.Module):
-    """ResNet returning the feature maps of `out_indices` stages (NHWC)."""
+    """ResNet returning the feature maps of `out_indices` stages (NHWC).
+
+    `base_channels` scales the whole trunk (stem + stage widths), parity
+    with /root/reference/mmdet/models/backbones/resnet.py:389 — used by
+    miniature test models and slim deployments.
+    """
     depth: int
     num_stages: int = 4
+    base_channels: int = 64
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     strides: Sequence[int] = (1, 2, 2, 2)
     dilations: Sequence[int] = (1, 1, 1, 1)
@@ -222,7 +228,8 @@ class ResNet(nn.Module):
         stem_eval = self.norm_eval or self.frozen_stages >= 0
         if self.deep_stem:
             for i, s in enumerate((2, 1, 1)):
-                x = _conv(32 if i < 2 else 64, 3, s, f'stem_conv{i+1}',
+                x = _conv(self.base_channels // 2 if i < 2
+                          else self.base_channels, 3, s, f'stem_conv{i+1}',
                           self.dtype, self.conv_cfg)(x)
                 x = _norm(self.norm_cfg, stem_eval,
                           f'stem_norm{i+1}', self.dtype)(x, train)
@@ -233,9 +240,11 @@ class ResNet(nn.Module):
                 # (7,7,3,64)), ~1.5x faster full stem on TPU at detection
                 # resolutions (layers.SpaceToDepthStem docstring)
                 from ld_tpu.models.layers import SpaceToDepthStem
-                x = SpaceToDepthStem(64, dtype=self.dtype, name='conv1')(x)
+                x = SpaceToDepthStem(self.base_channels, dtype=self.dtype,
+                                     name='conv1')(x)
             else:
-                x = _conv(64, 7, 2, 'conv1', self.dtype, self.conv_cfg)(x)
+                x = _conv(self.base_channels, 7, 2, 'conv1', self.dtype,
+                          self.conv_cfg)(x)
             x = _norm(self.norm_cfg, stem_eval, 'norm1',
                       self.dtype)(x, train)
             x = nn.relu(x)
@@ -248,9 +257,9 @@ class ResNet(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         outs = []
-        in_planes = 64
+        in_planes = self.base_channels
         for stage, num_blocks in enumerate(stage_blocks):
-            planes = 64 * 2**stage
+            planes = self.base_channels * 2**stage
             stride = self.strides[stage]
             dilation = self.dilations[stage]
             for b in range(num_blocks):

@@ -136,6 +136,7 @@ class GFLHead:
                  norm_cfg=None,
                  conv_cfg=None,
                  dtype=jnp.float32,
+                 level_pack=False,
                  **kwargs):
         self.num_classes = num_classes
         self.in_channels = in_channels
@@ -176,9 +177,20 @@ class GFLHead:
                                                dict(type='ATSSAssigner',
                                                     topk=9)))
         self.assigner = ASSIGNERS.build(assigner_cfg)
+        self.level_pack = bool(level_pack)
         self.net = self._build_net(dtype)
 
     def _build_net(self, dtype):
+        if self.level_pack:
+            # one-canvas tower over all FPN levels (docs/PERF.md); identical
+            # param tree + outputs, see packed_tower.py
+            from ld_tpu.models.heads.packed_tower import PackedGFLHeadNet
+            return PackedGFLHeadNet(
+                num_classes=self.num_classes,
+                feat_channels=self.feat_channels,
+                stacked_convs=self.stacked_convs,
+                reg_max=self.reg_max, num_levels=self.num_levels,
+                dtype=dtype)
         return GFLHeadNet(num_classes=self.num_classes,
                           feat_channels=self.feat_channels,
                           stacked_convs=self.stacked_convs,
@@ -363,7 +375,8 @@ class GFLHead:
                     max_per_img=cfg.get('max_per_img', 100))
             return multiclass_nms(boxes, scores, cfg.get('score_thr', 0.05),
                                   nms_cfg.get('iou_threshold', 0.6),
-                                  max_per_img=cfg.get('max_per_img', 100))
+                                  max_per_img=cfg.get('max_per_img', 100),
+                                  iou_dtype=nms_cfg.get('iou_dtype'))
 
         b = cls_scores[0].shape[0]
         if scale_factor is None:

@@ -1,0 +1,98 @@
+"""Reduced-precision NMS IoU-matrix knob (`nms.iou_dtype`, docs/PERF.md).
+
+Three contracts:
+  1. At fp32 the class-MASK formulation used by the reduced-dtype path is
+     EXACTLY the class-offset formulation (cross-class suppression is zero
+     either way) — pins that the knob changes only the matrix dtype, not
+     the algorithm.
+  2. At reduced precision the keep decisions may differ (f16 quantizes
+     coordinates to ~1 px, bf16 to ~4 px at COCO scales); the measured
+     disagreement on realistic clustered candidates must stay bounded
+     (measured: f16 0.980, bf16 0.881), and every emitted det must still
+     be a real input box. fp32 remains the default (VERDICT r02 #9).
+  3. Box pre-scaling by 1/32 keeps f16 intersection/union areas below the
+     65504 f16 max (raw COCO areas reach 9e4 and overflowed to inf,
+     which measured 0.77 agreement before the fix).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ld_tpu  # noqa: F401
+from ld_tpu.ops.nms import multiclass_nms
+
+
+def _candidates(seed, n_anchors=600, n_classes=8, n_objects=12, hw=(800, 1333)):
+    """Clustered detections: a few true objects, many jittered copies."""
+    rs = np.random.RandomState(seed)
+    h, w = hw
+    cx = rs.uniform(50, w - 50, n_objects)
+    cy = rs.uniform(50, h - 50, n_objects)
+    bw = rs.uniform(20, 300, n_objects)
+    bh = rs.uniform(20, 300, n_objects)
+    obj = rs.randint(0, n_objects, n_anchors)
+    jit = rs.normal(0, 8, (n_anchors, 4))
+    boxes = np.stack([
+        cx[obj] - bw[obj] / 2 + jit[:, 0], cy[obj] - bh[obj] / 2 + jit[:, 1],
+        cx[obj] + bw[obj] / 2 + jit[:, 2], cy[obj] + bh[obj] / 2 + jit[:, 3]
+    ], 1)
+    boxes = np.clip(boxes, 0, [w, h, w, h]).astype(np.float32)
+    scores = np.zeros((n_anchors, n_classes), np.float32)
+    cls_of_obj = rs.randint(0, n_classes, n_objects)
+    scores[np.arange(n_anchors), cls_of_obj[obj]] = rs.uniform(
+        0.05, 1.0, n_anchors)
+    return jnp.asarray(boxes), jnp.asarray(scores)
+
+
+def _sets(dets, labels, valid):
+    out = set()
+    d, l, v = np.asarray(dets), np.asarray(labels), np.asarray(valid)
+    for i in range(len(v)):
+        if v[i]:
+            out.add((tuple(np.round(d[i, :4], 2)), int(l[i])))
+    return out
+
+
+def test_fp32_class_mask_equals_offset_trick():
+    for seed in range(5):
+        boxes, scores = _candidates(seed)
+        a = multiclass_nms(boxes, scores, 0.05, 0.6, max_per_img=100)
+        b = multiclass_nms(boxes, scores, 0.05, 0.6, max_per_img=100,
+                           iou_dtype=jnp.float64)  # != fp32 -> classed path
+        # (float64 degrades to float32 without x64, so the matrix is
+        # numerically identical — only the formulation differs)
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.parametrize('dtype,floor', [(jnp.float16, 0.95),
+                                         (jnp.bfloat16, 0.85)])
+def test_reduced_iou_agreement_bounded(dtype, floor):
+    agree, total = 0, 0
+    for seed in range(10):
+        boxes, scores = _candidates(seed)
+        ref = _sets(*multiclass_nms(boxes, scores, 0.05, 0.6,
+                                    max_per_img=100))
+        alt = _sets(*multiclass_nms(boxes, scores, 0.05, 0.6,
+                                    max_per_img=100, iou_dtype=dtype))
+        agree += len(ref & alt)
+        total += len(ref)
+    rate = agree / max(total, 1)
+    # measured on clustered COCO-scale candidates: f16 0.980, bf16 0.881;
+    # a drop below the floor means the reduced-dtype path broke (e.g. f16
+    # area overflow), not just re-quantized
+    assert rate > floor, f'{dtype.__name__} NMS agreement {rate:.3f}'
+
+
+def test_bf16_dets_are_real_boxes():
+    boxes, scores = _candidates(42)
+    dets, labels, valid = multiclass_nms(boxes, scores, 0.05, 0.6,
+                                         max_per_img=100,
+                                         iou_dtype=jnp.bfloat16)
+    d, v = np.asarray(dets), np.asarray(valid)
+    src = np.asarray(boxes)
+    for i in np.where(v)[0]:
+        match = np.all(np.abs(src - d[i, :4]) < 1e-4, axis=1)
+        assert match.any()

@@ -39,6 +39,10 @@ def main():
     ap.add_argument('--remat', action='store_true')
     ap.add_argument('--fp32-towers', action='store_true',
                     help='disable the default bf16 backbone/neck compute')
+    ap.add_argument('--level-pack', action='store_true',
+                    help='run the GFL head tower on ONE packed all-level '
+                         'canvas (student AND teacher); see '
+                         'ld_tpu/models/heads/packed_tower.py')
     args = ap.parse_args()
 
     from ld_tpu.utils.profiling import setup_jax_cache
@@ -54,10 +58,23 @@ def main():
     cfg = Config.fromfile(args.config)
     mc = cfg.model.to_dict() if hasattr(cfg.model, 'to_dict') else \
         dict(cfg.model)
-    if not args.fp32_towers:
-        for key in ('backbone', 'neck'):
-            if key in mc and isinstance(mc[key], dict):
-                mc[key]['dtype'] = jnp.bfloat16
+    # resolve the teacher config to a plain dict so the same tower knobs
+    # can be applied to it (the frozen teacher is the single largest step
+    # component — an fp32 R101 teacher would dominate the measurement)
+    model_cfgs = [mc]
+    if isinstance(mc.get('teacher_config'), str):
+        from ld_tpu.models.detectors.kd_one_stage import _resolve_config
+        tc = Config.fromfile(_resolve_config(mc['teacher_config']))
+        tc = tc.to_dict() if hasattr(tc, 'to_dict') else dict(tc)
+        mc['teacher_config'] = tc
+        model_cfgs.append(tc['model'])
+    for m in model_cfgs:
+        if not args.fp32_towers:
+            for key in ('backbone', 'neck'):
+                if key in m and isinstance(m[key], dict):
+                    m[key]['dtype'] = jnp.bfloat16
+        if args.level_pack:
+            m['bbox_head']['level_pack'] = True
     det = build_detector(mc)
     has_teacher = hasattr(det, 'teacher')
 

@@ -19,6 +19,13 @@ import json
 import os
 import sys
 
+# the environment's sitecustomize exports JAX_PLATFORMS=axon (TPU tunnel),
+# clobbering any shell-level JAX_PLATFORMS=cpu; honor an explicit --cpu
+# BEFORE jax is imported (miniature A/B runs fine on host CPU and leaves
+# the chip free)
+if '--cpu' in sys.argv:
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..', '..'))
 
@@ -104,6 +111,8 @@ def main():
     ap.add_argument('--seeds', type=int, default=3)
     ap.add_argument('--epochs', type=int, default=24)
     ap.add_argument('--out', default='mstrain_ab.json')
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the host CPU platform (handled pre-import)')
     args = ap.parse_args()
 
     results = {'per_image': [], 'per_batch': []}
