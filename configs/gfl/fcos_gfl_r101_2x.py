@@ -5,8 +5,9 @@ _base_ = ['./fcos_gfl_r50_center.py']
 model = dict(
     pretrained='open-mmlab://detectron/resnet101_caffe',
     backbone=dict(depth=101))
-# value-mode multi-scale: one of the two scales per BATCH (loader
-# batch_scales), each with its own static pad bucket per orientation
+# value-mode multi-scale: each IMAGE picks one of the two scales
+# (reference multiscale_mode='value'); static pad bucket per orientation
+scale_sampling = 'image_value'
 batch_scales = [(1333, 640), (1333, 800)]
 pad_to = [(640, 1344), (800, 1344), (1344, 640), (1344, 800)]
 lr_config = dict(step=[16, 22])

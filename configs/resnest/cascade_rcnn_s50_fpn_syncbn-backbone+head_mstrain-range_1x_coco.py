@@ -2,7 +2,7 @@
 # Parity: /root/reference/configs/resnest/
 # cascade_rcnn_s50_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py —
 # ResNeSt normalization (mean 123.68/116.779/103.939), mstrain short side
-# 640..800 (per-batch scales over static buckets here), live backbone BN
+# 640..800 (per-image range draw via the loader default; grid endpoints below), live backbone BN
 # (the SyncBN there; the SPMD per-device-batch BN here). DEVIATION: the
 # reference also puts SyncBN inside the Shared4Conv1FCBBoxHead towers;
 # this config keeps the default norm-free cascade heads.
@@ -42,7 +42,9 @@ test_pipeline = [
 data = dict(train=dict(pipeline=train_pipeline),
             val=dict(pipeline=test_pipeline),
             test=dict(pipeline=test_pipeline))
-# mstrain range 640..800 on a /32 grid, one scale per batch
+# mstrain range 640..800: per-image draw between the endpoint scales
+# (loader default scale_sampling='image_range'); grid kept for the
+# opt-in per-batch speed mode
 batch_scales = [(1333, 640), (1333, 672), (1333, 704), (1333, 736),
                 (1333, 768), (1333, 800)]
 pad_to = [(640, 1344), (672, 1344), (704, 1344), (736, 1344), (768, 1344),

@@ -22,7 +22,7 @@ def init_detector(config: Union[str, Config], checkpoint: Optional[str] = None,
                   rng_seed: int = 0):
     """Build a detector and its variables from a config (+ checkpoint)."""
     cfg = Config.fromfile(config) if isinstance(config, str) else config
-    detector = build_detector(cfg.model)
+    detector = build_detector(cfg.model, dtype=cfg.get('dtype'))
     if checkpoint is None:
         variables = detector.init_variables(jax.random.PRNGKey(rng_seed))
     elif checkpoint.endswith('.pth'):

@@ -96,7 +96,9 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
     max_gts = cfg.get('max_gts_per_image', 100)
     loader = build_dataloader(dataset, samples_per_dev, n_dev, pad_hw,
                               max_gts, seed=cfg.get('seed', 0),
-                              batch_scales=cfg.get('batch_scales'))
+                              batch_scales=cfg.get('batch_scales'),
+                              scale_sampling=cfg.get('scale_sampling',
+                                                     'image_range'))
     steps_per_epoch = len(loader)
     runner_cfg = cfg.get('runner', {})
     if runner_cfg.get('type') == 'IterBasedRunner':
@@ -111,7 +113,9 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         max_epochs = runner_cfg.get('max_epochs', 12)
         lr_steps_per_epoch = steps_per_epoch
 
-    detector = build_detector(cfg.model)
+    # top-level `dtype` (configs/fp16 family): lower supporting towers to
+    # bf16 compute; params/losses/optimizer stay fp32 (models/__init__.py)
+    detector = build_detector(cfg.model, dtype=cfg.get('dtype'))
     has_teacher = hasattr(detector, 'teacher')
     # reference NumClassCheckHook: dataset class count must match the head
     ds_classes = getattr(dataset, 'CLASSES', None)

@@ -77,25 +77,48 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, pad_hw, max_gts: int = 100,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
                  drop_last: bool = False, num_workers: int = 0,
-                 batch_scales=None):
+                 batch_scales=None, scale_sampling: str = 'image_range'):
         # pad_hw: one (H, W) static shape, or a list of shape buckets —
         # each batch is padded to the smallest fitting bucket (bounded
         # recompilation; cheaper multi-scale batches).
-        # batch_scales: optional list of resize scales; each batch samples
-        # ONE (deterministically from seed+epoch) and applies it to all its
-        # images. The TPU-native multi-scale training shape: per-IMAGE random
-        # scales (the reference's mstrain) make the batch max ~= the range
-        # max, so every batch would pay max-scale conv FLOPs; per-BATCH
-        # scales keep the multi-scale regularization while small-scale
-        # batches run in small pad buckets.
+        #
+        # batch_scales + scale_sampling: multi-scale (mstrain) training.
+        #   'image_range' (default): each IMAGE draws its own scale with
+        #       the reference's range-mode semantics (transforms.py:119
+        #       random_sample — short side ~ randint between the first and
+        #       last scales' short sides) — exact reference parity; most
+        #       batches then pad to the max bucket.
+        #   'image_value': each image picks uniformly from the given list
+        #       (reference multiscale_mode='value', the caffe-mstrain
+        #       families) — exact reference parity.
+        #   'batch': each batch samples ONE scale (deterministically from
+        #       seed+epoch) for all its images, so small-scale batches run
+        #       in small static pad buckets (~1.29x faster epochs,
+        #       docs/PERF.md) — a measured AP-affecting deviation at
+        #       miniature scale (docs/EXPERIMENTS.md mstrain A/B); opt-in
+        #       via cfg.scale_sampling='batch'.
+        # The per-image modes work by re-arming the pipeline's own
+        # Resize/FusedPreprocess sampler with the multi-scale spec, so the
+        # draw happens inside the transform exactly as in the reference.
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = tuple(map(tuple, pad_hw)) \
             if isinstance(pad_hw[0], (tuple, list)) else tuple(pad_hw)
         self.batch_scales = [tuple(s) for s in batch_scales] \
             if batch_scales else None
-        self._scale_carriers = _scale_carriers(dataset) \
-            if batch_scales else []
+        assert scale_sampling in ('image_range', 'image_value', 'batch')
+        self.scale_sampling = scale_sampling
+        carriers = _scale_carriers(dataset) if batch_scales else []
+        if self.batch_scales and scale_sampling != 'batch':
+            mode = 'value' if scale_sampling == 'image_value' else 'range'
+            spec = self.batch_scales if mode == 'value' else \
+                [self.batch_scales[0], self.batch_scales[-1]]
+            for t in carriers:
+                t.img_scale = spec
+                t.multiscale_mode = mode
+                t.batch_scale = None
+            carriers = []  # no per-batch mutation in _produce
+        self._scale_carriers = carriers
         self.max_gts = max_gts
         self.sampler = GroupBatchSampler(
             getattr(dataset, 'flag', np.zeros(len(dataset), np.uint8)),
@@ -144,7 +167,7 @@ class DataLoader:
 
         try:
             for idx in batches:
-                if self.batch_scales:
+                if self.batch_scales and self._scale_carriers:
                     # batches are produced strictly one at a time (pool.map
                     # drains before the next batch), so mutating the shared
                     # transform is race-free
@@ -180,7 +203,8 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
                      shuffle: bool = True, seed: int = 0,
                      drop_last: bool = False,
                      num_workers: Optional[int] = None,
-                     batch_scales=None) -> DataLoader:
+                     batch_scales=None,
+                     scale_sampling: str = 'image_range') -> DataLoader:
     """Global-batch loader: batch = samples_per_gpu * num_replicas
     (the SPMD equivalent of per-GPU loaders + DistributedGroupSampler).
 
@@ -193,4 +217,5 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
     return DataLoader(dataset, batch, pad_hw,
                       max_gts, shuffle=shuffle, seed=seed,
                       drop_last=drop_last, num_workers=num_workers,
-                      batch_scales=batch_scales)
+                      batch_scales=batch_scales,
+                      scale_sampling=scale_sampling)

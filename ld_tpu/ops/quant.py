@@ -2,9 +2,15 @@
 
 The reference ships TensorRT int8 deployment through onnx
 (/root/reference/docs/tutorials/onnx2tensorrt.md); the TPU-native
-equivalent quantizes the conv compute path directly in JAX: v5e+ MXUs
-execute int8 x int8 -> int32 convolutions at ~2x the bf16 rate (measured
-300 TOP/s vs 160 TFLOP/s on the 3x3/256ch head-tower shape — docs/PERF.md).
+equivalent quantizes the conv compute path directly in JAX.
+
+MEASURED REALITY CHECK (docs/PERF.md int8 section): although v5e+ MXUs
+rate int8 at ~2x bf16 on paper, XLA's TPU conv lowering does NOT hit an
+int8 fast path at detection shapes — end-to-end GFL-R50 int8 measured
+0.26x the fp32 rate (35.8 vs 139.6 img/s batch 1), so this module is a
+correctness-complete deployment OPTION, not a speed lever on current
+XLA. bf16 is the serving dtype. Revisit with a Pallas int8 kernel if
+int8 serving becomes a requirement.
 
 Design — an execution-strategy transform, NOT a model rewrite:
   * flax `nn.intercept_methods` swaps every intercepted `nn.Conv.__call__`

@@ -43,6 +43,12 @@ def main():
                     help='run the GFL head tower on ONE packed all-level '
                          'canvas (student AND teacher); see '
                          'ld_tpu/models/heads/packed_tower.py')
+    ap.add_argument('--bf16-head', action='store_true',
+                    help='run the 4+4 conv-GN head towers in bf16 too '
+                         '(student AND teacher); predictions are cast back '
+                         'to fp32 before every loss/decode '
+                         '(gfl_head.py GFLHeadNet), so only the tower '
+                         'compute is reduced-precision')
     args = ap.parse_args()
 
     from ld_tpu.utils.profiling import setup_jax_cache
@@ -75,6 +81,8 @@ def main():
                     m[key]['dtype'] = jnp.bfloat16
         if args.level_pack:
             m['bbox_head']['level_pack'] = True
+        if args.bf16_head:
+            m['bbox_head']['dtype'] = jnp.bfloat16
     det = build_detector(mc)
     has_teacher = hasattr(det, 'teacher')
 

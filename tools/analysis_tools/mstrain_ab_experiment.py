@@ -86,6 +86,7 @@ def _cfg(per_image: bool, seed: int, epochs: int):
     else:
         cfg['pad_to'] = [(128, 160), (160, 192), (160, 224)]
         cfg['batch_scales'] = SCALES
+        cfg['scale_sampling'] = 'batch'  # the deviation under test
     return cfg
 
 
