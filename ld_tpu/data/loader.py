@@ -25,7 +25,7 @@ from .transforms import FusedPreprocess, Resize, collate_batch
 
 def _scale_carriers(dataset) -> List:
     """Resize/FusedPreprocess transforms reachable from a dataset (or
-    wrapper), for per-batch scale override."""
+    wrapper), for per-image/per-batch scale override."""
     out = []
     for ds in getattr(dataset, 'datasets', None) or [dataset]:
         ds = getattr(ds, 'dataset', ds)  # Repeat/ClassBalanced wrappers
@@ -36,6 +36,32 @@ def _scale_carriers(dataset) -> List:
             elif isinstance(t, Resize):
                 out.append(t)
     return out
+
+
+def _image_dims(dataset) -> Optional[np.ndarray]:
+    """(N, 2) original (height, width) per index, traversing the dataset
+    wrappers; None when a dataset doesn't expose image sizes. Used by the
+    scale-GROUPED mstrain modes to predict each image's resized shape."""
+    if hasattr(dataset, 'datasets'):  # Concat
+        parts = [_image_dims(d) for d in dataset.datasets]
+        if any(p is None for p in parts):
+            return None
+        return np.concatenate(parts, axis=0)
+    if hasattr(dataset, 'indices') and hasattr(dataset, 'dataset'):
+        base = _image_dims(dataset.dataset)  # ClassBalanced
+        return None if base is None else \
+            base[np.asarray(dataset.indices, np.int64)]
+    if hasattr(dataset, 'times') and hasattr(dataset, 'dataset'):
+        base = _image_dims(dataset.dataset)  # Repeat
+        return None if base is None else np.tile(base, (dataset.times, 1))
+    infos = getattr(dataset, 'img_infos', None)
+    if infos is not None:
+        try:
+            return np.asarray([[i['height'], i['width']] for i in infos],
+                              np.float64)
+        except (KeyError, TypeError):
+            return None
+    return None
 
 
 class GroupBatchSampler:
@@ -49,11 +75,19 @@ class GroupBatchSampler:
         self.shuffle = shuffle
         self.drop_last = drop_last
 
-    def epoch_batches(self, epoch: int) -> List[np.ndarray]:
+    def epoch_batches(self, epoch: int,
+                      keys: Optional[np.ndarray] = None) -> List[np.ndarray]:
+        """`keys` overrides the grouping key (default: the aspect flags).
+        The scale-grouped mstrain modes pass flag x pad-bucket keys so each
+        batch is homogeneous in its drawn scale's pad bucket — the same
+        reorder trick as the reference's aspect grouping
+        (/root/reference/mmdet/datasets/samplers/group_sampler.py:10),
+        extended to the scale axis."""
+        groups = self.flags if keys is None else np.asarray(keys)
         rng = np.random.RandomState(self.seed + epoch)
         batches = []
-        for g in np.unique(self.flags):
-            idx = np.nonzero(self.flags == g)[0]
+        for g in np.unique(groups):
+            idx = np.nonzero(groups == g)[0]
             if self.shuffle:
                 idx = idx[rng.permutation(len(idx))]
             # pad the tail so every batch is full (reference GroupSampler
@@ -85,40 +119,41 @@ class DataLoader:
         # batch_scales + scale_sampling: multi-scale (mstrain) training.
         #   'image_range' (default): each IMAGE draws its own scale with
         #       the reference's range-mode semantics (transforms.py:119
-        #       random_sample — short side ~ randint between the first and
-        #       last scales' short sides) — exact reference parity; most
-        #       batches then pad to the max bucket.
+        #       random_sample — long/short edges each ~ randint over the
+        #       min/max of all given scales' long/short sides) — exact
+        #       reference parity; most batches then pad to the max bucket.
         #   'image_value': each image picks uniformly from the given list
         #       (reference multiscale_mode='value', the caffe-mstrain
         #       families) — exact reference parity.
+        #   'image_range_grouped' / 'image_value_grouped': SAME per-image
+        #       draw (identical marginal scale distribution per image),
+        #       but the batch sampler groups same-pad-bucket images into
+        #       batches so each batch pads to its own bucket instead of
+        #       the range max — the reference's aspect-ratio-grouping
+        #       reorder trick (group_sampler.py:10) applied to the scale
+        #       axis. ~1.29x faster mstrain epochs (docs/PERF.md) without
+        #       the per-batch mode's correlated-scale-draw deviation.
         #   'batch': each batch samples ONE scale (deterministically from
-        #       seed+epoch) for all its images, so small-scale batches run
-        #       in small static pad buckets (~1.29x faster epochs,
-        #       docs/PERF.md) — a measured AP-affecting deviation at
-        #       miniature scale (docs/EXPERIMENTS.md mstrain A/B); opt-in
-        #       via cfg.scale_sampling='batch'.
-        # The per-image modes work by re-arming the pipeline's own
-        # Resize/FusedPreprocess sampler with the multi-scale spec, so the
-        # draw happens inside the transform exactly as in the reference.
+        #       seed+epoch) for all its images — a measured AP-NEGATIVE
+        #       deviation at miniature scale (docs/EXPERIMENTS.md mstrain
+        #       A/B); kept opt-in for throughput-over-AP uses.
+        # All modes inject the drawn scale into the pipeline's own
+        # Resize/FusedPreprocess sampler via a THREAD-LOCAL override at
+        # fetch time (transforms.Resize.set_scale_override): the shared
+        # pipeline object is never mutated, so other consumers of the same
+        # dataset see their own configured scales.
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = tuple(map(tuple, pad_hw)) \
             if isinstance(pad_hw[0], (tuple, list)) else tuple(pad_hw)
         self.batch_scales = [tuple(s) for s in batch_scales] \
             if batch_scales else None
-        assert scale_sampling in ('image_range', 'image_value', 'batch')
+        assert scale_sampling in ('image_range', 'image_value', 'batch',
+                                  'image_range_grouped',
+                                  'image_value_grouped')
         self.scale_sampling = scale_sampling
-        carriers = _scale_carriers(dataset) if batch_scales else []
-        if self.batch_scales and scale_sampling != 'batch':
-            mode = 'value' if scale_sampling == 'image_value' else 'range'
-            spec = self.batch_scales if mode == 'value' else \
-                [self.batch_scales[0], self.batch_scales[-1]]
-            for t in carriers:
-                t.img_scale = spec
-                t.multiscale_mode = mode
-                t.batch_scale = None
-            carriers = []  # no per-batch mutation in _produce
-        self._scale_carriers = carriers
+        self._scale_carriers = _scale_carriers(dataset) \
+            if batch_scales else []
         self.max_gts = max_gts
         self.sampler = GroupBatchSampler(
             getattr(dataset, 'flag', np.zeros(len(dataset), np.uint8)),
@@ -135,7 +170,55 @@ class DataLoader:
         b = self.batch_size
         return (n + b - 1) // b
 
-    def _produce(self, batches, q):
+    def _epoch_scales(self) -> Optional[List]:
+        """Per-image mstrain scale draw for this epoch (deterministic in
+        seed+epoch; reference random_sample/random_select semantics —
+        /root/reference/mmdet/datasets/pipelines/transforms.py:119)."""
+        if not self.batch_scales or self.scale_sampling == 'batch':
+            return None
+        rng = np.random.RandomState(self.sampler.seed + self.epoch + 1)
+        n = len(self.dataset)
+        if self.scale_sampling.startswith('image_value'):
+            picks = rng.randint(len(self.batch_scales), size=n)
+            return [self.batch_scales[j] for j in picks]
+        longs = [max(s) for s in self.batch_scales]
+        shorts = [min(s) for s in self.batch_scales]
+        ls = rng.randint(min(longs), max(longs) + 1, size=n)
+        ss = rng.randint(min(shorts), max(shorts) + 1, size=n)
+        return list(zip(ls.tolist(), ss.tolist()))
+
+    def _bucket_keys(self, scales: List) -> np.ndarray:
+        """flag x pad-bucket grouping key per image for the *_grouped
+        modes: predict each image's resized (post-/32-pad) shape from its
+        original dims + drawn scale, map to the smallest fitting pad
+        bucket. collate_batch re-selects the bucket from the actual
+        shapes, so a mispredicted key (e.g. a dim-changing aug after
+        Resize) costs only grouping efficiency, never correctness."""
+        from .transforms import rescale_size, select_pad_bucket
+        buckets = list(self.pad_hw) if isinstance(self.pad_hw[0], tuple) \
+            else [self.pad_hw]
+        bucket_ids = {tuple(b): i for i, b in enumerate(buckets)}
+        dims = _image_dims(self.dataset)
+        flags = self.sampler.flags
+        keys = np.zeros(len(scales), np.int64)
+        for i, sc in enumerate(scales):
+            if dims is not None and i < len(dims):
+                h0, w0 = int(dims[i][0]), int(dims[i][1])
+                f = rescale_size(h0, w0, sc)
+                hw = (int(h0 * f + 0.5), int(w0 * f + 0.5))
+            else:
+                # no size metadata: assume the image fills the scale cap
+                # in its flag's orientation (conservative upper bound)
+                long_s, short_s = max(sc), min(sc)
+                landscape = i < len(flags) and flags[i] == 1
+                hw = (short_s, long_s) if landscape else (long_s, short_s)
+            b = select_pad_bucket(buckets if len(buckets) > 1
+                                  else buckets[0], hw)
+            flag = flags[i] if i < len(flags) else 0
+            keys[i] = int(flag) * len(buckets) + bucket_ids[tuple(b)]
+        return keys
+
+    def _produce(self, batches, q, scales=None):
         # num_workers>0: per-sample decode/augment fans out over a thread
         # pool. The hot host work (JPEG decode in cv2, the fused native prep
         # kernel via ctypes) releases the GIL, so this scales with cores —
@@ -149,32 +232,41 @@ class DataLoader:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
         scale_rng = np.random.RandomState(self.sampler.seed + self.epoch + 1)
+        batch_scale = [None]  # 'batch' mode: current batch's shared scale
 
         def fetch(i):
             # pipelines may drop a sample (FilterAnnotations, Albu
             # skip_img_without_anno -> None); redraw like the reference's
             # CustomDataset._rand_another retry loop (custom.py:179)
-            s = self.dataset[int(i)]
+            i = int(i)
             tries = 0
-            while s is None:
+            while True:
+                if self._scale_carriers:
+                    # THREAD-LOCAL override: pool workers and any other
+                    # consumer of the shared pipeline are unaffected
+                    sc = batch_scale[0] if scales is None else scales[i]
+                    for t in self._scale_carriers:
+                        t.set_scale_override(sc)
+                try:
+                    s = self.dataset[i]
+                finally:
+                    for t in self._scale_carriers:
+                        t.set_scale_override(None)
+                if s is not None:
+                    return s
                 tries += 1
                 if tries > 100:
                     raise RuntimeError(
                         'pipeline returned None for 100 consecutive '
                         'redraws — is every sample being filtered?')
-                s = self.dataset[int(np.random.randint(len(self.dataset)))]
-            return s
+                i = int(np.random.randint(len(self.dataset)))
 
         try:
             for idx in batches:
-                if self.batch_scales and self._scale_carriers:
-                    # batches are produced strictly one at a time (pool.map
-                    # drains before the next batch), so mutating the shared
-                    # transform is race-free
-                    scale = self.batch_scales[
+                if self.batch_scales and scales is None:
+                    # 'batch' mode: one scale per batch
+                    batch_scale[0] = self.batch_scales[
                         scale_rng.randint(len(self.batch_scales))]
-                    for t in self._scale_carriers:
-                        t.batch_scale = scale
                 if pool is not None:
                     samples = list(pool.map(fetch, idx))
                 else:
@@ -186,9 +278,13 @@ class DataLoader:
             q.put(None)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        batches = self.sampler.epoch_batches(self.epoch)
+        scales = self._epoch_scales()
+        keys = self._bucket_keys(scales) \
+            if scales is not None and 'grouped' in self.scale_sampling \
+            else None
+        batches = self.sampler.epoch_batches(self.epoch, keys=keys)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(batches, q),
+        t = threading.Thread(target=self._produce, args=(batches, q, scales),
                              daemon=True)
         t.start()
         while True:

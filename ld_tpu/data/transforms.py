@@ -29,15 +29,33 @@ from ld_tpu.utils.registry import PIPELINES
 
 @PIPELINES.register_module()
 class LoadImageFromFile:
+    # mmcv imfrombytes flag semantics
+    # (/root/reference/mmdet/datasets/pipelines/loading.py:12 passes
+    # color_type straight through): 'color' -> 3-ch BGR, 'grayscale' ->
+    # 2-D single channel, 'unchanged' -> as stored (incl. alpha/16-bit);
+    # *_ignore_orientation skips the EXIF rotation mmcv/cv2 apply by
+    # default.
+    _FLAGS = {
+        'color': cv2.IMREAD_COLOR,
+        'grayscale': cv2.IMREAD_GRAYSCALE,
+        'unchanged': cv2.IMREAD_UNCHANGED,
+        'color_ignore_orientation':
+            cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION,
+        'grayscale_ignore_orientation':
+            cv2.IMREAD_GRAYSCALE | cv2.IMREAD_IGNORE_ORIENTATION,
+    }
+
     def __init__(self, to_float32=False, color_type='color'):
         self.to_float32 = to_float32
+        assert color_type in self._FLAGS, color_type
+        self.color_type = color_type
 
     def __call__(self, results: Dict) -> Dict:
         path = results['img_info']['filename']
         if 'img_prefix' in results and results['img_prefix']:
             import os
             path = os.path.join(results['img_prefix'], path)
-        img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, HWC
+        img = cv2.imread(path, self._FLAGS[self.color_type])  # BGR, HWC
         if img is None:
             raise FileNotFoundError(path)
         if self.to_float32:
@@ -110,6 +128,18 @@ class Resize:
         self.override = override
         self.bbox_clip_border = bbox_clip_border
 
+    def set_scale_override(self, scale) -> None:
+        """Arm a THREAD-LOCAL one-image scale override (the DataLoader's
+        per-image mstrain draw, data/loader.py). Thread-local so concurrent
+        fetch workers — and any other consumer sharing this pipeline object
+        — never see each other's scales; unlike the old re-arm-in-__init__
+        approach it leaves the transform's own config untouched."""
+        tls = getattr(self, '_tls', None)
+        if tls is None:
+            import threading
+            tls = self._tls = threading.local()
+        tls.scale = tuple(scale) if scale is not None else None
+
     def _sample_scale(self) -> Tuple[int, int]:
         """Reference Resize._random_scale semantics
         (mmdet/datasets/pipelines/transforms.py:119-186):
@@ -117,7 +147,11 @@ class Resize:
           * list + 'range'   -> long/short edges each ~ randint over the
                                 [min, max] of the two bounding scales
           * list + 'value'   -> uniform pick from the given scales
+        A thread-local override (set_scale_override) wins over everything.
         """
+        tls = getattr(self, '_tls', None)
+        if tls is not None and getattr(tls, 'scale', None) is not None:
+            return tls.scale
         if getattr(self, 'batch_scale', None) is not None:
             # set by DataLoader(batch_scales=...): every image in a batch
             # shares one sampled scale, so the batch pads to that scale's

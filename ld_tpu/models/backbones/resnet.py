@@ -310,7 +310,11 @@ class ResNet(nn.Module):
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
-                outs.append(x)
+                # exported copy is always batch-only under sp: the neck's
+                # lateral convs may be fsdp/tp-sharded (act_sharding
+                # .reshard_export docstring)
+                from ld_tpu.utils.act_sharding import reshard_export
+                outs.append(reshard_export(x, stage))
         return tuple(outs)
 
     def frozen_param_paths(self):

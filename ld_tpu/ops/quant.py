@@ -68,8 +68,11 @@ def _conv_key(mod) -> str:
 def _is_plain_conv(mod) -> bool:
     # exact type: subclasses (weight-standardized variants etc.) transform
     # the kernel inside __call__, which a raw-param requantization would
-    # silently skip
-    return type(mod) is nn.Conv
+    # silently skip. quantized_conv also assumes an unmasked 2-D NHWC conv
+    # (ADVICE r3): masked or 1-D/3-D convs take the fp fallback path
+    # rather than being quantized with wrong semantics.
+    return (type(mod) is nn.Conv and mod.mask is None
+            and len(mod.kernel_size) == 2)
 
 
 def _should_quant(mod, skip: Sequence[str]) -> bool:

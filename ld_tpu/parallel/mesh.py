@@ -74,7 +74,12 @@ def param_sharding(mesh: Mesh, tree, fsdp_axis: Optional[str] = None,
     the sharded dim), so every param of an sp-resident backbone stage
     (utils/act_sharding.sp_resident_param_patterns) is kept replicated.
     Those are the shallow high-res stages — a small fraction of the
-    parameters, so ZeRO-3 keeps nearly all of its memory win."""
+    parameters, so ZeRO-3 keeps nearly all of its memory win.
+    tests/test_parallel.py::test_sp_fsdp_without_workaround_canary is a
+    strict-xfail canary that runs the sp+fsdp gradient WITHOUT the
+    exclusion: the day a jax/XLA upgrade fixes the partitioner it XPASSes
+    loudly and this workaround (and its replication cost) can be
+    removed."""
     nf = mesh.shape[fsdp_axis] if fsdp_axis else 1
     nt = mesh.shape[tp_axis] if tp_axis else 1
 

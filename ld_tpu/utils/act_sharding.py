@@ -93,6 +93,29 @@ def reshard_stage(x, stage: int):
         x, sp_sh if stage < gather_stage else data_sh)
 
 
+def reshard_export(x, stage: int):
+    """Constrain a backbone output that is EXPORTED to the neck (an
+    `out_indices` member) under an sp trace; no-op otherwise.
+
+    Stage outputs below `gather_stage` stay spatially sharded on the
+    in-backbone path (`reshard_stage`), but the copy handed to the neck
+    must be batch-only: FPN lateral convs may be fsdp/tp-sharded along
+    C_in/C_out, and channel-sharded weights + H-sharded activations is the
+    known SPMD-partitioner miscompile this module exists to dodge (see
+    sp_resident_param_patterns). E.g. cascade/HTC backbones export stage 0
+    (out_indices=(0,1,2,3)) while gather_stage=1 keeps it sp-resident
+    in-backbone. One extra 'sp' all-gather of that map, correctness for
+    every out_indices shape."""
+    ctx = _SP_STAGE[0]
+    if ctx is None:
+        return x
+    _, data_sh, gather_stage = ctx
+    if stage >= gather_stage:
+        return x  # already batch-only via reshard_stage
+    import jax
+    return jax.lax.with_sharding_constraint(x, data_sh)
+
+
 def sp_resident_param_patterns(gather_stage: int = 1):
     """keystr substrings of backbone params whose activations remain
     spatially sharded under `sp_stage_scope(gather_stage)` — these leaves

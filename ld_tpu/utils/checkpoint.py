@@ -112,13 +112,19 @@ def _dcn_offset_perm(out_ch: int, k: int) -> np.ndarray:
 
 
 def _dcn_offset_leaf(leaf: str):
-    """Conversion fn for a `*.conv_offset.(weight|bias)` tensor."""
+    """Conversion fn for a `*.conv_offset.(weight|bias)` tensor.
+
+    The weight infers k from its own (…, k, k) shape. The BIAS is 1-D —
+    out_ch = 3*g*k*k is ambiguous on its own (g=1,k=3 and g=9,k=1 both
+    give 27) — so its permutation is applied in convert_torch_state_dict's
+    loop, which reads k from the sibling `conv_offset.weight`; here it is
+    identity."""
     if leaf == 'weight':
         def fn(w):
             k = w.shape[-1]
             return _conv_kernel(w[_dcn_offset_perm(w.shape[0], k)])
         return fn
-    return lambda b: b[_dcn_offset_perm(b.shape[0], 3)]
+    return lambda b: b
 
 
 # mmdet SSDVGG `features` module indices (VGG-16, ceil_mode pools, fc6/fc7
@@ -336,6 +342,12 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
 
     for key, value in state_dict.items():
         value = np.asarray(value)
+        if key.endswith('conv_offset.bias'):
+            # permute here, where the sibling weight's (…, k, k) shape
+            # disambiguates k (see _dcn_offset_leaf docstring)
+            w = state_dict.get(key[:-len('bias')] + 'weight')
+            k = int(np.asarray(w).shape[-1]) if w is not None else 3
+            value = value[_dcn_offset_perm(value.shape[0], k)]
         is_backbone = key.startswith('backbone.') or not key.startswith(
             ('neck.', 'bbox_head.'))
         hit = None

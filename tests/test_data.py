@@ -185,6 +185,78 @@ def test_loader_batch_scales_synchronized():
     assert len(set(shapes_epoch0)) > 1  # multiple buckets actually exercised
 
 
+def test_scale_grouped_mstrain():
+    """'image_range_grouped': per-image draws (reference marginal
+    distribution, identical to 'image_range' at the same seed/epoch) but
+    batches are homogeneous in pad bucket — each batch pads to its own
+    bucket instead of the range max. And the shared pipeline object is
+    never mutated (the old re-arm-in-__init__ leak, ADVICE r3)."""
+    pipeline = [
+        dict(type='Resize', img_scale=(128, 96), keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    buckets = [(48, 64), (64, 96), (96, 128), (128, 96), (96, 64), (64, 48)]
+    mk = lambda mode: DataLoader(  # noqa: E731
+        SyntheticDetectionDataset(num_images=64, hw=(64, 96),
+                                  pipeline=pipeline),
+        batch_size=8, pad_hw=buckets, max_gts=8, seed=3,
+        batch_scales=[(128, 48), (128, 96)], scale_sampling=mode)
+
+    dl = mk('image_range_grouped')
+    resize = dl.dataset.pipeline.transforms[0]
+    orig_scale = resize.img_scale
+    per_batch_hw = []
+    all_hw = []
+    for b in dl:
+        hw = np.asarray(b['img_hw'])
+        per_batch_hw.append(b['image'].shape[1:3])
+        all_hw.extend(map(tuple, hw.tolist()))
+        # every image in the batch fits the batch's (own) bucket
+        assert hw[:, 0].max() <= b['image'].shape[1]
+        assert hw[:, 1].max() <= b['image'].shape[2]
+    # batches landed in multiple buckets (grouping actually pays)
+    assert len(set(per_batch_hw)) > 1, per_batch_hw
+    # per-image variety within the epoch (not per-batch correlated draws)
+    assert len(set(all_hw)) > 8
+    # the shared pipeline was NOT mutated
+    assert resize.img_scale == orig_scale
+    assert getattr(resize, 'batch_scale', None) is None
+
+    # identical per-image draw: same seed/epoch, the grouped and ungrouped
+    # modes give every image the SAME scale (only the batching differs;
+    # tail-padding may duplicate different indices, so compare per-id)
+    assert dl._epoch_scales() == mk('image_range')._epoch_scales()
+
+
+def test_load_image_color_type(tmp_path):
+    """color_type parity with the reference loader
+    (/root/reference/mmdet/datasets/pipelines/loading.py:12): 'grayscale'
+    decodes 2-D, 'unchanged' keeps stored channels, default stays 3-ch
+    BGR."""
+    import cv2
+    from ld_tpu.data.transforms import LoadImageFromFile
+    img = np.zeros((8, 10, 3), np.uint8)
+    img[:, :, 0] = 200  # blue-ish
+    p = str(tmp_path / 'x.png')
+    cv2.imwrite(p, img)
+    gray_p = str(tmp_path / 'g.png')
+    cv2.imwrite(gray_p, np.full((8, 10), 77, np.uint8))
+
+    res = lambda path: dict(img_info=dict(filename=path))  # noqa: E731
+    out = LoadImageFromFile()(res(p))
+    assert out['img'].shape == (8, 10, 3)
+    out = LoadImageFromFile(color_type='grayscale')(res(p))
+    assert out['img'].ndim == 2 and out['img_shape'] == (8, 10)
+    out = LoadImageFromFile(color_type='unchanged')(res(gray_p))
+    assert out['img'].ndim == 2  # stored single-channel stays 2-D
+    out = LoadImageFromFile(color_type='color')(res(gray_p))
+    assert out['img'].shape == (8, 10, 3)  # gray file -> replicated BGR
+    assert (out['img'] == 77).all()
+    import pytest
+    with pytest.raises(AssertionError):
+        LoadImageFromFile(color_type='sepia')
+
+
 def _write_voc_year(root, year, ids, size=(60, 80)):
     import os
     import cv2 as _cv2

@@ -410,6 +410,104 @@ def test_sp_grads_match_dp1():
     assert step is not None
 
 
+def _cfg_out0():
+    """Backbone exports stage 0 (out_indices=(0,..)) into an FPN lateral
+    whose weights get fsdp-sharded — the cascade/HTC-shaped combination
+    where the stage-0 map is sp-resident (< gather_stage). Regression for
+    the reshard_export gather (utils/act_sharding.py): without it this is
+    exactly the channel-sharded-weights + H-sharded-activations SPMD
+    miscompile."""
+    cfg = _cfg()
+    cfg['neck'] = dict(type='FPN', in_channels=[64, 128, 256, 512],
+                       out_channels=32, start_level=0,
+                       add_extra_convs='on_output', num_outs=5)
+    return cfg
+
+
+def test_sp_fsdp_out_indices0_matches_dp1():
+    assert len(jax.devices()) >= 8
+    import optax
+    det = build_detector(_cfg_out0())
+    opt = optax.sgd(0.01, momentum=0.9)
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               (1, 64, 96, 3))
+    mesh1 = create_mesh(('data', ), devices=jax.devices()[:1])
+    step1 = jit_train_step(make_train_step(det, opt), mesh1)
+    s1, m1 = step1(state, shard_batch(_batch(), mesh1))
+
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               (1, 64, 96, 3))
+    mesh8 = create_mesh(('data', 'sp'), (4, 2), devices=jax.devices()[:8])
+    step8 = jit_train_step(make_train_step(det, opt), mesh8, sp=True,
+                           fsdp=True, state=state)
+    s8, m8 = step8(state, shard_batch(_batch(), mesh8))
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
+                               rtol=2e-4)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s1.params)]
+    p8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s8.params)]
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(p1, p8))
+    assert worst < 1e-4, worst
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason='CANARY for the XLA SPMD partitioner miscompile that '
+           'exclude_substrings works around (parallel/mesh.py: sp-resident '
+           'stage params stay replicated because channel-sharded weights + '
+           'H-sharded activations miscompute). This test runs the sp+fsdp '
+           'gradient WITHOUT the exclusion and asserts dp1 agreement: '
+           'today that FAILS (expected — the bug is live). If a jax/XLA '
+           'upgrade fixes the partitioner this XPASSes as a strict error, '
+           'signalling the workaround (and its replication memory cost) '
+           'can be removed.')
+def test_sp_fsdp_without_workaround_canary():
+    assert len(jax.devices()) >= 8
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ld_tpu.parallel.mesh import param_sharding, data_sharding
+    from ld_tpu.utils.act_sharding import (loss_sharding_scope,
+                                           sp_stage_scope)
+
+    det = build_detector(_cfg())
+    opt = optax.sgd(0.0)
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               (1, 64, 96, 3))
+    batch = _batch()
+
+    def loss_fn(params, b):
+        variables = {'params': params, 'batch_stats': state.batch_stats}
+        losses = det.forward_train(variables, b)
+        return sum(jnp.asarray(v) for k, v in losses.items() if 'loss' in k)
+
+    g1 = jax.jit(jax.grad(loss_fn))(state.params, dict(batch))
+    g1 = jax.tree_util.tree_map(np.asarray, g1)
+
+    mesh = create_mesh(('data', 'sp'), (4, 2), devices=jax.devices()[:8])
+    sp_sh = NamedSharding(mesh, P('data', 'sp'))
+    dp_sh = NamedSharding(mesh, P('data'))
+    # NO exclude_substrings: sp-resident stage params get fsdp-sharded too
+    params_sh = param_sharding(mesh, state.params, fsdp_axis='data')
+
+    def grad_sp(params, b):
+        b = dict(b, image=jax.lax.with_sharding_constraint(
+            b['image'], sp_sh))
+        with sp_stage_scope(sp_sh, dp_sh, 1), loss_sharding_scope(dp_sh):
+            return jax.grad(loss_fn)(params, b)
+
+    g8 = jax.jit(grad_sp, in_shardings=(params_sh, data_sharding(mesh)),
+                 out_shardings=params_sh)(
+        jax.device_put(state.params, params_sh),
+        shard_batch(_batch(), mesh))
+    g8 = jax.tree_util.tree_map(np.asarray, g8)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat8 = jax.tree_util.tree_flatten_with_path(g8)[0]
+    for (path, a), (_, b) in zip(flat1, flat8):
+        scale = float(np.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            a, b, atol=2e-5 * max(scale, 1.0),
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_tp_fsdp_matches_dp1():
     """Tensor parallelism (every weight's last divisible dim — C_out —
     split across the 'model' axis, Megatron-style weight-stationary layout)

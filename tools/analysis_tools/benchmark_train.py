@@ -49,6 +49,17 @@ def main():
                          'to fp32 before every loss/decode '
                          '(gfl_head.py GFLHeadNet), so only the tower '
                          'compute is reduced-precision')
+    ap.add_argument('--bf16-teacher-head', action='store_true',
+                    help='bf16 head tower for the TEACHER only (its '
+                         'predictions are soft targets under '
+                         'stop_gradient; the student head stays fp32)')
+    ap.add_argument('--no-fold-teacher-bn', dest='fold_teacher_bn',
+                    action='store_false', default=True,
+                    help='skip folding the frozen teacher BN stats into '
+                         'its conv kernels (utils/fuse_conv_bn.py; the '
+                         'fold is value-identical — the teacher is '
+                         'inference-only — and is applied by default, '
+                         'matching apis/train.py)')
     args = ap.parse_args()
 
     from ld_tpu.utils.profiling import setup_jax_cache
@@ -83,6 +94,8 @@ def main():
             m['bbox_head']['level_pack'] = True
         if args.bf16_head:
             m['bbox_head']['dtype'] = jnp.bfloat16
+    if args.bf16_teacher_head and len(model_cfgs) > 1:
+        model_cfgs[-1]['bbox_head']['dtype'] = jnp.bfloat16
     det = build_detector(mc)
     has_teacher = hasattr(det, 'teacher')
 
@@ -91,6 +104,9 @@ def main():
                                input_shape=(1, 64, 96, 3))
     tv = det.init_teacher_variables(jax.random.PRNGKey(1), (1, 64, 96, 3)) \
         if has_teacher else None
+    if tv is not None and args.fold_teacher_bn:
+        from ld_tpu.utils.fuse_conv_bn import fuse_conv_bn
+        tv = fuse_conv_bn(tv)
     step_fn = make_train_step(det, opt, has_teacher=has_teacher,
                               remat=args.remat)
 
