@@ -60,7 +60,7 @@ class VOCDataset:
             size = root.find('size')
             w = int(size.find('width').text)
             h = int(size.find('height').text)
-            bboxes, labels, ignore = [], [], []
+            bboxes, labels, ignore, ignore_labels = [], [], [], []
             for obj in root.findall('object'):
                 name = obj.find('name').text
                 if name not in name_to_label:
@@ -75,6 +75,7 @@ class VOCDataset:
                     box[3] - box[1] < self.min_size)
                 if difficult or small:
                     ignore.append(box)
+                    ignore_labels.append(name_to_label[name])
                 else:
                     bboxes.append(box)
                     labels.append(name_to_label[name])
@@ -84,7 +85,8 @@ class VOCDataset:
             self.annotations.append(dict(
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int64),
-                bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4)))
+                bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+                labels_ignore=np.asarray(ignore_labels, np.int64)))
         self.flag = np.array([
             1 if i['width'] / i['height'] > 1 else 0 for i in self.img_infos
         ], np.uint8)

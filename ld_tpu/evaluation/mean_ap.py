@@ -49,27 +49,43 @@ def _iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def tpfp_default(det: np.ndarray, gt: np.ndarray, gt_ignore: np.ndarray,
                  iou_thr: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy matching of one image's detections of one class."""
+    """Greedy matching of one image's detections of one class.
+
+    Exact reference semantics
+    (/root/reference/mmdet/core/evaluation/mean_ap.py:153): real and
+    ignored (difficult) GTs are stacked into ONE pool and each detection
+    matches its single argmax-IoU GT from that pool — a det whose best
+    overlap is an ignored GT is neither tp nor fp even when a real GT
+    also clears the threshold, and a det whose best overlap is an
+    already-covered real GT counts as a false positive (double
+    detection) regardless of any ignore overlap. Differentially pinned
+    against a loop-port oracle in tests/test_voc_map_differential.py."""
     nd = len(det)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
-    if len(gt) == 0 and len(gt_ignore) == 0:
+    num_real = len(gt)
+    all_gt = np.vstack([np.asarray(gt, np.float64).reshape(-1, 4),
+                        np.asarray(gt_ignore, np.float64).reshape(-1, 4)])
+    if len(all_gt) == 0:
         fp[:] = 1
         return tp, fp
-    ious_gt = _iou(det[:, :4], gt)
-    ious_ig = _iou(det[:, :4], gt_ignore)
+    ious = _iou(det[:, :4], all_gt)
+    ious_max = ious.max(axis=1) if nd else np.zeros(0)
+    ious_argmax = ious.argmax(axis=1) if nd else np.zeros(0, np.int64)
     order = np.argsort(-det[:, 4], kind='mergesort')
-    matched = np.zeros(len(gt), bool)
+    covered = np.zeros(len(all_gt), bool)
     for d in order:
-        if len(gt):
-            g = ious_gt[d].argmax()
-            if ious_gt[d, g] >= iou_thr and not matched[g]:
-                matched[g] = True
-                tp[d] = 1
-                continue
-        if len(gt_ignore) and ious_ig[d].max(initial=0) >= iou_thr:
-            continue  # matched an ignore region: neither tp nor fp
-        fp[d] = 1
+        if ious_max[d] >= iou_thr:
+            g = ious_argmax[d]
+            if g < num_real:  # best match is a real (non-difficult) GT
+                if not covered[g]:
+                    covered[g] = True
+                    tp[d] = 1
+                else:
+                    fp[d] = 1  # double detection
+            # best match is an ignored GT: neither tp nor fp
+        else:
+            fp[d] = 1
     return tp, fp
 
 
@@ -95,7 +111,14 @@ def eval_map(det_results: List[List[np.ndarray]],
             det = np.asarray(dets[c], np.float64).reshape(-1, 5)
             mask = ann['labels'] == c
             gt = ann['bboxes'][mask].astype(np.float64)
-            ig = ann.get('bboxes_ignore', np.zeros((0, 4)))
+            # reference get_cls_results (mean_ap.py:240): ignore boxes are
+            # PER-CLASS via labels_ignore; with no labels_ignore the class
+            # gets NO ignore boxes
+            if ann.get('labels_ignore') is not None:
+                ig = np.asarray(ann['bboxes_ignore'], np.float64).reshape(
+                    -1, 4)[np.asarray(ann['labels_ignore']) == c]
+            else:
+                ig = np.zeros((0, 4))
             tp, fp = tpfp_default(det, gt, ig, iou_thr)
             tp_all.append(tp)
             fp_all.append(fp)
