@@ -82,7 +82,7 @@ class CocoDataset:
             info = dict(id=img['id'], filename=img['file_name'],
                         width=img['width'], height=img['height'])
             bboxes, labels, ignore, polys = [], [], [], []
-            areas, ig_labels, ig_areas = [], [], []
+            areas, ig_labels, ig_areas, ig_segs = [], [], [], []
             for a in anns_by_img.get(img['id'], []):
                 if a.get('ignore', False):
                     continue
@@ -101,6 +101,9 @@ class CocoDataset:
                     ignore.append(box)
                     ig_labels.append(self.cat_id_to_label[a['category_id']])
                     ig_areas.append(area)
+                    # crowd segmentation (RLE dict on real COCO) — the
+                    # segm evaluator reuses crowds with IoF semantics
+                    ig_segs.append(a.get('segmentation'))
                 else:
                     bboxes.append(box)
                     labels.append(self.cat_id_to_label[a['category_id']])
@@ -114,7 +117,8 @@ class CocoDataset:
                 labels_ignore=np.asarray(ig_labels, np.int64),
                 areas=np.asarray(areas, np.float64),
                 areas_ignore=np.asarray(ig_areas, np.float64),
-                masks=polys)
+                masks=polys,
+                masks_ignore=ig_segs)
             self.img_infos.append(info)
             self.annotations.append(ann)
 

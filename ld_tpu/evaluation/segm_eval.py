@@ -43,13 +43,11 @@ def paste_mask(mask: np.ndarray, box: np.ndarray, out_h: int, out_w: int,
 
 
 def rasterize_polygons(polys, h: int, w: int) -> np.ndarray:
-    m = np.zeros((h, w), np.uint8)
-    if polys:
-        pts = [np.asarray(p, np.float32).reshape(-1, 2).astype(np.int32)
-               for p in polys if p is not None and len(p) >= 6]
-        if pts:
-            cv2.fillPoly(m, pts, 1)
-    return m.astype(bool)
+    """pycocotools-exact polygon rasterization (coco_mask.poly_to_mask) —
+    boundary-pixel semantics match what published mask-AP numbers were
+    scored against (maskApi.c rleFrPoly), not cv2.fillPoly's."""
+    from .coco_mask import poly_to_mask
+    return poly_to_mask(polys, h, w)
 
 
 def mask_iou(det_masks: np.ndarray, gt_masks: np.ndarray,
@@ -107,14 +105,36 @@ class SegmEvaluator:
         self.scale = scale
         self.num_classes = len(dataset.CLASSES)
 
-    def _gt_bitmaps(self, i, h, w):
-        ann = self.dataset.get_ann_info(i)
+    def _down(self, m, h, w):
         s = self.scale
-        return [cv2.resize(
-            rasterize_polygons(p, h, w).astype(np.uint8),
-            (max(1, w // s), max(1, h // s)),
-            interpolation=cv2.INTER_NEAREST).astype(bool)
-            for p in ann.get('masks', [])], ann
+        if s == 1:
+            return m.astype(bool)
+        return cv2.resize(m.astype(np.uint8),
+                          (max(1, w // s), max(1, h // s)),
+                          interpolation=cv2.INTER_NEAREST).astype(bool)
+
+    def _gt_bitmaps(self, i, h, w):
+        """Non-crowd masks (polygons), crowd masks (RLE segmentations from
+        masks_ignore), and the annotation dict. GT areas come from the json
+        'area' field when the dataset carries it (pycocotools filters GTs
+        by SEGMENTATION area — cocoeval.py evaluateImg g['area']), with the
+        full-res rasterized pixel count as the fallback."""
+        from .coco_mask import decode_segmentation
+        ann = self.dataset.get_ann_info(i)
+        full = [rasterize_polygons(p, h, w) for p in ann.get('masks', [])]
+        areas = ann.get('areas')
+        if areas is None:
+            areas = np.asarray([m.sum() for m in full], np.float64)
+        gts = [self._down(m, h, w) for m in full]
+        crowd_full = [decode_segmentation(s_, h, w)
+                      for s_ in (ann.get('masks_ignore') or [])]
+        crowd_areas = ann.get('areas_ignore')
+        if crowd_areas is None or len(crowd_areas) != len(crowd_full):
+            crowd_areas = np.asarray([m.sum() for m in crowd_full],
+                                     np.float64)
+        crowds = [self._down(m, h, w) for m in crowd_full]
+        return gts, np.asarray(areas, np.float64), crowds, \
+            np.asarray(crowd_areas, np.float64), ann
 
     def evaluate(self, det_results: List[Dict]) -> Dict[str, float]:
         num_imgs = len(det_results)
@@ -130,7 +150,8 @@ class SegmEvaluator:
             h, w = info['height'], info['width']
             s = self.scale
             sh, sw = max(1, h // s), max(1, w // s)
-            gt_bitmaps, ann = self._gt_bitmaps(i, h, w)
+            gt_bitmaps, gt_areas, crowd_bitmaps, crowd_areas, ann = \
+                self._gt_bitmaps(i, h, w)
             res = det_results[i]
             boxes = np.asarray(res['boxes'])
             labels = np.asarray(res['labels'])
@@ -139,23 +160,27 @@ class SegmEvaluator:
                 paste_mask(masks[d], boxes[d] / s, sh, sw)
                 for d in range(len(boxes))
             ]
-            per_img.append((gt_bitmaps, ann, boxes, labels, det_bitmaps))
+            per_img.append((gt_bitmaps, gt_areas, crowd_bitmaps,
+                            crowd_areas, ann, boxes, labels, det_bitmaps))
 
         area_items = list(AREA_RNG.items())
+        s2 = float(self.scale)**2
         for k in range(K):
             for ai, (aname, arng) in enumerate(area_items):
-                rng_s = (arng[0] / self.scale**2, arng[1] / self.scale**2)
                 for mi, max_det in enumerate(MAX_DETS):
                     dtm_all, dtig_all, scores_all = [], [], []
                     npig = 0
                     for i in range(num_imgs):
-                        gt_bitmaps, ann, boxes, labels, det_bitmaps = \
-                            per_img[i]
+                        (gt_bitmaps, gt_areas, crowd_bitmaps, crowd_areas,
+                         ann, boxes, labels, det_bitmaps) = per_img[i]
                         gsel = [j for j, l in enumerate(ann['labels'])
                                 if l == k]
+                        ig_labels = ann.get('labels_ignore', [])
+                        csel = [j for j, l in enumerate(ig_labels)
+                                if l == k and j < len(crowd_bitmaps)]
                         dsel = [j for j in range(len(labels))
                                 if labels[j] == k]
-                        if not gsel and not dsel:
+                        if not gsel and not csel and not dsel:
                             continue
                         order = np.argsort(
                             -boxes[dsel, 4],
@@ -163,24 +188,42 @@ class SegmEvaluator:
                         dsel = [dsel[o] for o in order]
                         dmask = np.stack([det_bitmaps[j] for j in dsel]) \
                             if dsel else np.zeros((0, 1, 1), bool)
-                        gmask = np.stack([gt_bitmaps[j] for j in gsel]) \
-                            if gsel else np.zeros(
-                                (0, ) + dmask.shape[1:], bool)
-                        g_areas = gmask.reshape(len(gmask), -1).sum(1)
-                        gt_ignore = (g_areas < rng_s[0]) | \
-                            (g_areas > rng_s[1])
+                        if len(dmask):
+                            shape = dmask.shape[1:]
+                        elif gt_bitmaps:
+                            shape = gt_bitmaps[0].shape
+                        elif crowd_bitmaps:
+                            shape = crowd_bitmaps[0].shape
+                        else:
+                            shape = (1, 1)
+                        stack = [gt_bitmaps[j] for j in gsel] + \
+                            [crowd_bitmaps[j] for j in csel]
+                        gmask = np.stack(stack) if stack else \
+                            np.zeros((0, ) + shape, bool)
+                        # GT range filtering uses the ANNOTATION area (the
+                        # json 'area' field, full-res px^2); crowds always
+                        # ignore (cocoeval _prepare: iscrowd => ignore)
+                        g_areas = np.concatenate([
+                            gt_areas[gsel] if gsel else np.zeros(0),
+                            crowd_areas[csel] if csel else np.zeros(0)])
+                        crowd = np.zeros(len(gmask), bool)
+                        crowd[len(gsel):] = True
+                        gt_ignore = crowd | (g_areas < arng[0]) | \
+                            (g_areas > arng[1])
                         g_order = np.argsort(gt_ignore, kind='mergesort')
                         gmask = gmask[g_order]
                         gt_ignore = gt_ignore[g_order]
-                        crowd = np.zeros(len(gmask), bool)
+                        crowd = crowd[g_order]
                         if len(dmask) and len(gmask):
                             ious = mask_iou(dmask, gmask, crowd)
                         else:
                             ious = np.zeros((len(dmask), len(gmask)))
-                        d_areas = dmask.reshape(len(dmask), -1).sum(1) \
+                        # det range filter: pasted-mask pixel count, scaled
+                        # back to full-res px^2 (maskUtils.area(dt))
+                        d_areas = dmask.reshape(len(dmask), -1).sum(1) * s2 \
                             if len(dmask) else np.zeros(0)
                         dtm, dtig = _match_with_ious(
-                            ious, d_areas, gt_ignore, crowd, rng_s, max_det)
+                            ious, d_areas, gt_ignore, crowd, arng, max_det)
                         dtm_all.append(dtm)
                         dtig_all.append(dtig)
                         scores_all.append(boxes[dsel, 4] if dsel else
@@ -214,12 +257,19 @@ class SegmEvaluator:
                             q[valid] = pr[inds[valid]]
                         precision[ti, :, k, ai, mi] = q
 
-        def summ(iou=None, area='all'):
+        def summ(iou=None, area='all', max_det=100):
             ai = list(AREA_RNG).index(area)
-            mi = MAX_DETS.index(100)
+            mi = MAX_DETS.index(max_det)
             s = precision[:, :, :, ai, mi]
             if iou is not None:
                 s = s[[np.argmin(np.abs(IOU_THRS - iou))]]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else float('nan')
+
+        def summ_ar(area='all', max_det=100):
+            ai = list(AREA_RNG).index(area)
+            mi = MAX_DETS.index(max_det)
+            s = recall[:, :, ai, mi]
             s = s[s > -1]
             return float(s.mean()) if s.size else float('nan')
 
@@ -230,6 +280,12 @@ class SegmEvaluator:
             'segm_mAP_s': summ(area='small'),
             'segm_mAP_m': summ(area='medium'),
             'segm_mAP_l': summ(area='large'),
+            'segm_AR@1': summ_ar(max_det=1),
+            'segm_AR@10': summ_ar(max_det=10),
+            'segm_AR@100': summ_ar(max_det=100),
+            'segm_AR_s@100': summ_ar(area='small'),
+            'segm_AR_m@100': summ_ar(area='medium'),
+            'segm_AR_l@100': summ_ar(area='large'),
         }
 
 

@@ -26,7 +26,7 @@ numerics. In practice WS is always paired with GN (which has no
 batch_stats and is therefore never touched), but callers passing a model
 config should gate on it; `fuse_conv_bn_cfg_ok` does the check.
 """
-import jax.numpy as jnp
+import numpy as np
 
 
 def fuse_conv_bn_cfg_ok(model_cfg) -> bool:
@@ -52,7 +52,14 @@ def fuse_conv_bn(variables, eps: float = 1e-5):
     the repo-wide convention, ld_tpu/models/backbones/resnet.py). Unpaired
     BNs (e.g. after an add, or RetinaSepBN per-level towers) are left
     untouched.
+
+    The arithmetic runs in HOST numpy (device arrays are pulled once):
+    per-leaf device ops would be hundreds of tiny dispatches, which is
+    pathological through a relay-attached TPU (~0.4 s each, docs/PERF.md).
+    Pass the result straight to a jitted step — upload happens once there.
     """
+    import jax
+    variables = jax.device_get(variables)
     params = _copy(variables.get('params', {}))
     stats = _copy(variables.get('batch_stats', {}))
     _walk(params, stats, eps)
@@ -83,12 +90,14 @@ def _walk(pnode, snode, eps):
                 mean, var = sval['bn']['mean'], sval['bn']['var']
                 gamma, beta = bnp['scale'], bnp['bias']
                 if kernel.ndim >= 2 and kernel.shape[-1] == gamma.shape[0]:
-                    f = gamma / jnp.sqrt(var + eps)
+                    kernel = np.asarray(kernel)
+                    f = np.asarray(gamma) / np.sqrt(np.asarray(var) + eps)
                     conv['kernel'] = (kernel * f).astype(kernel.dtype)
-                    bnp['scale'] = jnp.ones_like(gamma)
-                    bnp['bias'] = (beta - mean * f).astype(beta.dtype)
-                    sval['bn']['mean'] = jnp.zeros_like(mean)
-                    sval['bn']['var'] = jnp.full_like(var, 1.0 - eps)
+                    bnp['scale'] = np.ones_like(gamma)
+                    bnp['bias'] = (np.asarray(beta) -
+                                   np.asarray(mean) * f).astype(beta.dtype)
+                    sval['bn']['mean'] = np.zeros_like(mean)
+                    sval['bn']['var'] = np.full_like(var, 1.0 - eps)
     for key, pval in pnode.items():
         if isinstance(pval, dict):
             _walk(pval, snode.get(key, {}), eps)
