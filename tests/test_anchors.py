@@ -1,4 +1,7 @@
 """Anchor generator golden-value tests (GFL configuration)."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax.numpy as jnp
 

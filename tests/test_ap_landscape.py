@@ -6,6 +6,9 @@ target /root/reference/AP_landscape/test.py:204-239), asserting per-level
 feature/cls/bbox errors and the Pearson correlation come out present and
 finite. Round-3 verdict: the only §1 layer never executed by CI.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import json
 import os
 import sys

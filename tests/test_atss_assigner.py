@@ -1,6 +1,9 @@
 """ATSS + VLR assignment vs an independent numpy loop oracle implementing the
 published ATSS algorithm (Zhang et al., CVPR 2020) and the LD paper's VLR
 band definition."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax
 import jax.numpy as jnp

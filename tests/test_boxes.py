@@ -1,4 +1,7 @@
 """Core box-op tests against independent numpy loop oracles."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,4 +1,7 @@
 """Checkpoint conversion & persistence tests."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import os
 import tempfile
 

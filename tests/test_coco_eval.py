@@ -1,4 +1,7 @@
 """Native COCO evaluator tests against hand-computable cases."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 
 from ld_tpu.evaluation.coco_eval import CocoEvaluator

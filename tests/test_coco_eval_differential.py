@@ -8,6 +8,9 @@ random cases on all 12 metrics. The reference's AP numbers are DEFINED by
 pycocotools (/root/reference/mmdet/datasets/coco.py:363); this pins the
 native protocol to it.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import math
 
 import numpy as np

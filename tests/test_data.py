@@ -1,5 +1,8 @@
 """Data pipeline tests (reference strategy: transform determinism/shape/flip
 correctness — SURVEY.md §4, tests/test_data)."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 
 from ld_tpu.data import (Compose, collate_batch, DataLoader,

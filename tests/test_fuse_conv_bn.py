@@ -1,5 +1,8 @@
 """Conv+BN folding (ld_tpu/utils/fuse_conv_bn.py — the reference's
 mmcv.cnn.fuse_conv_bn used by tools/test.py --fuse-conv-bn)."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import jax
 import jax.numpy as jnp
 import numpy as np

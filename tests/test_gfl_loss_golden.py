@@ -7,6 +7,9 @@ reference's reduce_mean(num_total_pos).clamp(min=1)) on identical inputs.
 This guards the normalization semantics end-to-end — the place SURVEY §7
 flags as 'silently wrong scaling costs AP'.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax
 import jax.numpy as jnp

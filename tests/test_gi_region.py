@@ -9,6 +9,9 @@ semantics against a full-anchor numpy oracle:
     high scorers shadowing low-score picks) breaks the prefix — and raising
     the `gi_candidates` config knob to the anchor count restores exactness.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,8 @@
 """Loss tests. The KD/QFL/DFL oracles are computed with torch (CPU) ops —
 an implementation-independent check of the math, not a port of the reference."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -5,6 +5,9 @@ backbone's init tree, rename every leaf back to the SOURCE framework's
 naming, convert, and require the result to reproduce the init tree's
 structure, shapes, and (transposed) values exactly.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import os
 import sys
 

@@ -1,4 +1,7 @@
 """NMS kernels vs a naive greedy oracle."""
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import jax
 import numpy as np
 import jax.numpy as jnp

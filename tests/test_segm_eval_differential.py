@@ -8,6 +8,9 @@ areas != pixel counts), roi-space soft det masks pasted through the
 production paste — pinned to <1e-6 on all 12 metrics at scale=1.
 Round-3 verdict: segm AP was guarded by only 4 hand cases.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 
 from ld_tpu.evaluation.coco_mask import poly_to_mask

@@ -8,6 +8,9 @@ same treatment the COCO evaluator got in round 3: randomized cases with
 difficult/ignore boxes, double detections, empty classes and empty images,
 pinned to the oracle on all outputs.
 """
+import pytest
+
+pytestmark = pytest.mark.smoke  # high-value numerics/oracle gate (<10 min total, README)
 import numpy as np
 import pytest
 
