@@ -216,6 +216,11 @@ class SyntheticDetectionDataset:
         # splits (plain mode is pure noise: boxes are only memorizable)
         self.num_images = num_images
         self.hw = hw
+        # CLASSES length tracks num_classes so the NumClassCheck in
+        # apis/train.py doesn't warn on non-80-class synthetic runs
+        self.CLASSES = tuple(COCO_CLASSES[:num_classes]) if \
+            num_classes <= len(COCO_CLASSES) else tuple(
+                f'class_{i}' for i in range(num_classes))
         rng = np.random.RandomState(seed)
         self.img_infos = [dict(id=i, filename=f'synth_{i}.jpg',
                                width=hw[1], height=hw[0])

@@ -23,11 +23,12 @@ import sys
 # clobbering any shell-level JAX_PLATFORMS=cpu; honor an explicit --cpu
 # BEFORE jax is imported (miniature A/B runs fine on host CPU and leaves
 # the chip free)
-if '--cpu' in sys.argv:
-    os.environ['JAX_PLATFORMS'] = 'cpu'
-
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..', '..'))
+
+if '--cpu' in sys.argv:
+    from ld_tpu.utils.platform import force_cpu
+    force_cpu()
 
 from ld_tpu.utils.profiling import setup_jax_cache  # noqa: E402
 
@@ -49,19 +50,19 @@ NORM = dict(type='Normalize', mean=[123.675, 116.28, 103.53],
 SCALES = [(224, 112), (224, 136), (224, 160)]
 
 
-def _pipeline(per_image: bool):
-    if per_image:
+def _pipeline(arm: str):
+    if arm == 'per_image':
         resize = dict(type='Resize', img_scale=[SCALES[0], SCALES[-1]],
                       multiscale_mode='range', keep_ratio=True)
     else:
-        # fixed transform; the DataLoader's batch_scales override samples
-        # the actual scale once per batch (transforms.py Resize.batch_scale)
+        # fixed transform; the DataLoader injects the drawn scale via the
+        # thread-local override (per-batch or per-image+grouped modes)
         resize = dict(type='Resize', img_scale=SCALES[-1], keep_ratio=True)
     return [resize, NORM, dict(type='Pad', size_divisor=32),
             dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels'])]
 
 
-def _cfg(per_image: bool, seed: int, epochs: int):
+def _cfg(arm: str, seed: int, epochs: int):
     cfg = Config.fromfile(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), '..', '..',
         'configs/synthetic/gfl_r18_synthetic.py'))
@@ -79,27 +80,31 @@ def _cfg(per_image: bool, seed: int, epochs: int):
     cfg['log_config'] = dict(interval=100)
     cfg['max_gts_per_image'] = 8
     cfg.data['samples_per_gpu'] = 8
-    if per_image:
+    if arm == 'per_image':
         # every batch can contain a near-max image -> one max bucket
         cfg['pad_to'] = (160, 224)
         cfg['batch_scales'] = None
-    else:
+    elif arm == 'per_batch':
         cfg['pad_to'] = [(128, 160), (160, 192), (160, 224)]
         cfg['batch_scales'] = SCALES
-        cfg['scale_sampling'] = 'batch'  # the deviation under test
+        cfg['scale_sampling'] = 'batch'  # the r3-measured AP-negative knob
+    else:  # 'grouped': per-image draw, scale-grouped batching (r4)
+        cfg['pad_to'] = [(128, 160), (160, 192), (160, 224)]
+        cfg['batch_scales'] = SCALES
+        cfg['scale_sampling'] = 'image_range_grouped'
     return cfg
 
 
-def _run(per_image: bool, seed: int, epochs: int, work: str):
+def _run(arm: str, seed: int, epochs: int, work: str):
     train = SyntheticDetectionDataset(
         num_images=96, hw=HW, num_classes=NUM_CLASSES, max_boxes=4,
-        pipeline=_pipeline(per_image), seed=0, draw_boxes=True)
+        pipeline=_pipeline(arm), seed=0, draw_boxes=True)
     val = SyntheticDetectionDataset(
         num_images=48, hw=HW, num_classes=NUM_CLASSES, max_boxes=4,
         pipeline=[NORM, dict(type='Pad', size_divisor=32),
                   dict(type='Collect', keys=['img'])],
         seed=1, draw_boxes=True)
-    out = train_detector(_cfg(per_image, seed, epochs), work, dataset=train)
+    out = train_detector(_cfg(arm, seed, epochs), work, dataset=train)
     variables = {'params': out['state'].params,
                  'batch_stats': out['state'].batch_stats}
     res = eval_detector(out['detector'], variables, val, pad_hw=HW,
@@ -112,28 +117,34 @@ def main():
     ap.add_argument('--seeds', type=int, default=3)
     ap.add_argument('--epochs', type=int, default=24)
     ap.add_argument('--out', default='mstrain_ab.json')
+    ap.add_argument('--arms', nargs='+',
+                    default=['per_image', 'grouped'],
+                    choices=['per_image', 'per_batch', 'grouped'],
+                    help="arms to run; 'grouped' = per-image draw + "
+                         "scale-grouped batching (the r4 default "
+                         "candidate), 'per_batch' = the r3-retired knob")
     ap.add_argument('--cpu', action='store_true',
                     help='force the host CPU platform (handled pre-import)')
     args = ap.parse_args()
 
-    results = {'per_image': [], 'per_batch': []}
+    results = {arm: [] for arm in args.arms}
     for seed in range(args.seeds):
-        for name, per_image in (('per_image', True), ('per_batch', False)):
-            ap_val = _run(per_image, seed, args.epochs,
+        for name in args.arms:
+            ap_val = _run(name, seed, args.epochs,
                           f'/tmp/mstrain_ab/{name}_s{seed}')
             results[name].append(round(ap_val, 4))
             print(f'{name} seed {seed}: mAP {ap_val:.4f}', flush=True)
 
-    a = np.array(results['per_image'])
-    b = np.array(results['per_batch'])
-    summary = dict(
-        scales=SCALES, seeds=args.seeds, epochs=args.epochs,
-        per_image=results['per_image'], per_batch=results['per_batch'],
-        per_image_mean=round(float(a.mean()), 4),
-        per_image_std=round(float(a.std()), 4),
-        per_batch_mean=round(float(b.mean()), 4),
-        per_batch_std=round(float(b.std()), 4),
-        delta_mean=round(float(b.mean() - a.mean()), 4))
+    summary = dict(scales=SCALES, seeds=args.seeds, epochs=args.epochs)
+    for name, vals in results.items():
+        v = np.array(vals)
+        summary[name] = vals
+        summary[f'{name}_mean'] = round(float(v.mean()), 4)
+        summary[f'{name}_std'] = round(float(v.std()), 4)
+    base = args.arms[0]
+    for name in args.arms[1:]:
+        summary[f'delta_{name}_vs_{base}'] = round(
+            summary[f'{name}_mean'] - summary[f'{base}_mean'], 4)
     print(json.dumps(summary, indent=2))
     with open(args.out, 'w') as f:
         json.dump(summary, f, indent=2)
