@@ -143,6 +143,19 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
         teacher_vars = _load_teacher_variables(detector, cfg, logger,
                                                jax.random.PRNGKey(1),
                                                init_shape)
+        if cfg.get('fold_teacher_bn', True):
+            # the teacher runs inference-only with frozen BN statistics
+            # (reference: no_grad + eval teacher, kd_one_stage.py:69-80),
+            # so folding its BN scale into the conv kernels is
+            # value-identical (utils/fuse_conv_bn.py); gated off for
+            # ConvWS teachers where the fold would be silently wrong
+            from ld_tpu.utils.fuse_conv_bn import (fuse_conv_bn,
+                                                   fuse_conv_bn_cfg_ok)
+            tcfg = getattr(detector, 'teacher_model_cfg', None)
+            if tcfg is None or fuse_conv_bn_cfg_ok(tcfg):
+                teacher_vars = fuse_conv_bn(teacher_vars)
+                logger.info('teacher conv+BN folded into kernels '
+                            '(disable with fold_teacher_bn=False)')
 
     if cfg.get('load_from'):
         # reference runner.load_checkpoint semantics: weights only (params +

@@ -53,7 +53,10 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
         self.output_feature = output_feature
         if isinstance(teacher_config, str):
             teacher_config = Config.fromfile(_resolve_config(teacher_config))
-        self.teacher = DETECTORS.build(dict(teacher_config['model']))
+        # kept for gates that need the raw teacher config (e.g. the
+        # fold_teacher_bn ConvWS check in apis/train.py)
+        self.teacher_model_cfg = dict(teacher_config['model'])
+        self.teacher = DETECTORS.build(self.teacher_model_cfg)
         self.teacher_ckpt = teacher_ckpt
 
     def init_teacher_variables(self, rng, input_shape=(1, 64, 64, 3)):

@@ -82,3 +82,80 @@ def test_cfg_gate_rejects_convws():
     assert fuse_conv_bn_cfg_ok(cfg)
     cfg['backbone']['conv_cfg'] = dict(type='ConvWS')
     assert not fuse_conv_bn_cfg_ok(cfg)
+
+
+def test_kd_train_step_fused_teacher_identical():
+    """Folding the inference-only teacher's BN inside the jitted KD train
+    step (apis/train.py fold_teacher_bn, default on) is value-identical:
+    loss AND updated student params match the unfused teacher to fp32
+    rounding. Reference contract: the teacher runs under no_grad with
+    frozen BN (/root/reference/mmdet/models/detectors/kd_one_stage.py:
+    69-80), so the fold cannot change any training signal."""
+    import optax
+    from ld_tpu.parallel.train_step import (create_train_state,
+                                            make_train_step)
+
+    cfg = _detector_cfg()
+    cfg['bbox_head'].update(
+        type='LDHead',
+        loss_ld=dict(type='KnowledgeDistillationKLDivLoss',
+                     loss_weight=0.25, T=10),
+        loss_ld_vlr=dict(type='KnowledgeDistillationKLDivLoss',
+                         loss_weight=0.25, T=10),
+        loss_kd=dict(type='KnowledgeDistillationKLDivLoss',
+                     loss_weight=1.0, T=2))
+    cfg['type'] = 'KnowledgeDistillationSingleStageDetector'
+    cfg['teacher_config'] = dict(model=_detector_cfg())
+    cfg['train_cfg'] = dict(assigner=dict(type='ATSSAssigner', topk=9),
+                            allowed_border=-1, pos_weight=-1)
+    det = build_detector(cfg)
+
+    opt = optax.sgd(learning_rate=0.05, momentum=0.9)
+    state = create_train_state(det, jax.random.PRNGKey(0), opt,
+                               input_shape=(1, 64, 96, 3))
+    tv = det.init_teacher_variables(jax.random.PRNGKey(1), (1, 64, 96, 3))
+
+    # non-trivial teacher BN stats so the fold actually moves numbers
+    def perturb(path, x):
+        name = '/'.join(
+            getattr(p, 'key', getattr(p, 'name', str(p))) for p in path)
+        rs = np.random.RandomState(abs(hash(name)) % (2**31))
+        if name.endswith('mean'):
+            return x + jnp.asarray(
+                0.1 * rs.randn(*x.shape).astype(np.float32))
+        if name.endswith('var') or name.endswith('scale'):
+            return x * jnp.asarray(
+                (0.5 + rs.rand(*x.shape)).astype(np.float32))
+        return x
+    tv = jax.tree_util.tree_map_with_path(perturb, tv)
+    tv_fused = fuse_conv_bn(tv)
+    assert not np.allclose(
+        np.asarray(tv['params']['backbone']['conv1']['kernel']),
+        np.asarray(tv_fused['params']['backbone']['conv1']['kernel']))
+
+    gt = np.zeros((2, 6, 4), np.float32)
+    gt[:, 0] = [4, 4, 40, 48]
+    gt[:, 1] = [16, 12, 56, 60]
+    valid = np.zeros((2, 6), bool)
+    valid[:, :2] = True
+    batch = {
+        'image': jnp.asarray(np.random.RandomState(3).randn(
+            2, 64, 96, 3).astype(np.float32)),
+        'gt_bboxes': jnp.asarray(gt),
+        'gt_labels': jnp.zeros((2, 6), np.int32),
+        'gt_valid': jnp.asarray(valid),
+        'img_hw': jnp.asarray([[64., 96.]] * 2),
+    }
+
+    step = jax.jit(make_train_step(det, opt, has_teacher=True))
+    s_ref, m_ref = step(state, batch, tv)
+    s_fused, m_fused = step(state, batch, tv_fused)
+
+    for k in m_ref:
+        np.testing.assert_allclose(np.asarray(m_ref[k]),
+                                   np.asarray(m_fused[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
