@@ -32,6 +32,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def stack_stage_params(layer_params: list) -> Any:
+    """Stack per-layer param pytrees (identical structure) for `gpipe`.
+
+    Takes the L parameter trees of a homogeneous layer stack (e.g. the
+    `enc{i}` subtrees of a DETR head) and returns one pytree whose leaves
+    have a leading dim L — reshape/group that dim to (S, L//S, ...) to run
+    L layers as S pipeline stages of L//S sub-layers each.
+    """
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *layer_params)
+
+
 def gpipe(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
           stacked_params: Any,
           microbatches: jnp.ndarray,
