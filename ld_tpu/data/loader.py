@@ -152,8 +152,7 @@ class DataLoader:
                                   'image_range_grouped',
                                   'image_value_grouped')
         self.scale_sampling = scale_sampling
-        self._scale_carriers = _scale_carriers(dataset) \
-            if batch_scales else []
+        self._scale_carriers = _scale_carriers(dataset)
         self.max_gts = max_gts
         self.sampler = GroupBatchSampler(
             getattr(dataset, 'flag', np.zeros(len(dataset), np.uint8)),
@@ -186,6 +185,33 @@ class DataLoader:
         ls = rng.randint(min(longs), max(longs) + 1, size=n)
         ss = rng.randint(min(shorts), max(shorts) + 1, size=n)
         return list(zip(ls.tolist(), ss.tolist()))
+
+    def _fixed_scales(self) -> Optional[List]:
+        """Per-image scale list for pad-bucket grouping when training at a
+        FIXED scale (the 1x/2x single-scale recipes). With multiple pad
+        buckets, an image's resized shape is already determined by its
+        original dims + the pipeline's one configured keep-ratio scale, so
+        batches can be grouped aspect-bucket-homogeneously exactly like the
+        grouped mstrain modes: a 4:3 COCO image resizes to 800x1067 and its
+        batch pads to the (800, 1088) bucket instead of the (800, 1344)
+        maximum — pure reorder, the reference's own aspect-ratio grouping
+        (group_sampler.py:10) taken one step finer. Returns None when the
+        resized shape is not statically predictable (mstrain, ratio_range,
+        keep_ratio=False, multiple distinct Resizes)."""
+        if self.batch_scales or not isinstance(self.pad_hw[0], tuple) \
+                or len(self.pad_hw) <= 1:
+            return None
+        seen = set()
+        for t in self._scale_carriers:
+            sc = getattr(t, 'img_scale', None)
+            if (sc is None or not getattr(t, 'keep_ratio', False)
+                    or getattr(t, 'ratio_range', None) is not None
+                    or isinstance(sc[0], (tuple, list))):
+                return None
+            seen.add(tuple(sc))
+        if len(seen) != 1:
+            return None
+        return [seen.pop()] * len(self.dataset)
 
     def _bucket_keys(self, scales: List) -> np.ndarray:
         """flag x pad-bucket grouping key per image for the *_grouped
@@ -279,9 +305,11 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         scales = self._epoch_scales()
-        keys = self._bucket_keys(scales) \
-            if scales is not None and 'grouped' in self.scale_sampling \
-            else None
+        if scales is not None and 'grouped' in self.scale_sampling:
+            keys = self._bucket_keys(scales)
+        else:
+            fixed = self._fixed_scales()
+            keys = self._bucket_keys(fixed) if fixed is not None else None
         batches = self.sampler.epoch_batches(self.epoch, keys=keys)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=self._produce, args=(batches, q, scales),

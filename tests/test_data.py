@@ -231,6 +231,53 @@ def test_scale_grouped_mstrain():
     assert dl._epoch_scales() == mk('image_range')._epoch_scales()
 
 
+def test_fixed_scale_bucket_grouping():
+    """Single-fixed-scale (1x/2x) training with multiple pad buckets groups
+    batches by PREDICTED resized shape: each image's post-Resize dims are
+    statically determined by its annotation dims + the one keep-ratio
+    scale, so batches are bucket-homogeneous and pad to their own bucket
+    instead of the max — pure reorder, no per-image math changes
+    (loader.py DataLoader._fixed_scales). Mirrors the reference's
+    aspect-ratio grouping (group_sampler.py:10) one step finer."""
+    from ld_tpu.data.dataset_wrappers import ConcatDataset
+    pipeline = [
+        dict(type='Resize', img_scale=(96, 64), keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    # 64x96 resizes to 64x96 (factor 1) -> (64, 96) bucket;
+    # 48x96 resizes to 48x96 (factor 1) -> the smaller (48, 96) bucket
+    ds = ConcatDataset([
+        SyntheticDetectionDataset(num_images=16, hw=(64, 96),
+                                  pipeline=pipeline, seed=0),
+        SyntheticDetectionDataset(num_images=16, hw=(48, 96),
+                                  pipeline=pipeline, seed=1),
+    ])
+    dl = DataLoader(ds, batch_size=4, pad_hw=[(48, 96), (64, 96)],
+                    max_gts=8, seed=0)
+    assert dl._fixed_scales() is not None
+    shapes = [b['image'].shape for b in dl]
+    # both buckets exercised: tall images never drag short ones to max pad
+    assert set(shapes) == {(4, 48, 96, 3), (4, 64, 96, 3)}, shapes
+    for b in dl:
+        hw = np.asarray(b['img_hw'])
+        assert hw[:, 0].max() <= b['image'].shape[1]
+        # batch is homogeneous in true height (grouping worked)
+        assert len(set(hw[:, 0].tolist())) == 1, hw
+
+    # not statically predictable -> grouping declines (returns None):
+    # mstrain-style multi-scale list
+    ms_pipeline = [
+        dict(type='Resize', img_scale=[(96, 64), (80, 48)],
+             multiscale_mode='value', keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    ds2 = SyntheticDetectionDataset(num_images=8, hw=(64, 96),
+                                    pipeline=ms_pipeline)
+    dl2 = DataLoader(ds2, batch_size=4, pad_hw=[(48, 96), (64, 96)],
+                     max_gts=8, seed=0)
+    assert dl2._fixed_scales() is None
+
+
 def test_load_image_color_type(tmp_path):
     """color_type parity with the reference loader
     (/root/reference/mmdet/datasets/pipelines/loading.py:12): 'grayscale'

@@ -37,6 +37,12 @@ def main():
                         'cost that the default loop pays once per batch — '
                         'use this to read the real batched serving rate '
                         '(VERDICT r03 weak #5).')
+    p.add_argument('--stage', choices=['e2e', 'raw'], default='e2e',
+                   help="'raw' stops at the head outputs (backbone->neck->"
+                        'head, no integral decode / NMS). The e2e-vs-raw '
+                        'delta at each batch size isolates whether the '
+                        'vmapped per-image post-processing is the batch-'
+                        'scaling ceiling (VERDICT r03 weak #5).')
     p.add_argument('--fp32', action='store_true',
                    help='disable bf16 compute')
     p.add_argument('--fuse-conv-bn', action='store_true',
@@ -68,6 +74,15 @@ def main():
         'img_hw': jnp.asarray([[h, w]] * b, jnp.float32),
     }
 
+    if args.stage == 'raw':
+        def fwd(v, b):
+            outs = det.apply(v, b['image'], train=False)
+            return outs[0][0][0, 0, 0, 0].astype(jnp.float32)
+    else:
+        def fwd(v, b):
+            out = det.forward_test(v, b)
+            return out[0][0, 0, 0].astype(jnp.float32)
+
     if args.scan:
         # device-side loop: the carry is a scalar derived from the previous
         # step's detections, mixed into the next image at 1e-6 scale so the
@@ -77,8 +92,7 @@ def main():
             def run(v, batch, c0):
                 def body(c, _):
                     img = batch['image'] + (c * 1e-6).astype(jnp.float32)
-                    out = det.forward_test(v, dict(batch, image=img))
-                    return out[0][0, 0, 0], None
+                    return fwd(v, dict(batch, image=img)), None
                 c, _ = jax.lax.scan(body, c0, None, length=n)
                 return c
             return run
@@ -95,10 +109,10 @@ def main():
         per_batch = ((t2 - t1) - (t1 - t0)) / (2 * args.iters)
         fps = b / max(per_batch, 1e-9)
     else:
-        infer = jax.jit(lambda v, x: det.forward_test(v, x))
+        infer = jax.jit(fwd)
 
         def sync(out):
-            return np.asarray(out[0][0, 0])
+            return np.asarray(out)
 
         sync(infer(variables, batch))  # compile + warmup
 
@@ -115,7 +129,7 @@ def main():
         fps = b * 2 * args.iters / max(t2 - t1, 1e-9)
     print(f'config: {args.config}')
     print(f'shape: {b}x{h}x{w}  dtype: '
-          f'{"fp32" if args.fp32 else "bf16"}'
+          f'{"fp32" if args.fp32 else "bf16"}  stage: {args.stage}'
           f'{"  (scan-carry)" if args.scan else ""}')
     print(f'throughput: {fps:.2f} img/s '
           f'({1000.0 * b / fps:.2f} ms/batch)')
