@@ -375,6 +375,7 @@ class GFLHead:
                     max_per_img=cfg.get('max_per_img', 100))
             return multiclass_nms(boxes, scores, cfg.get('score_thr', 0.05),
                                   nms_cfg.get('iou_threshold', 0.6),
+                                  approx_topk=nms_cfg.get('approx_topk'),
                                   max_per_img=cfg.get('max_per_img', 100),
                                   iou_dtype=nms_cfg.get('iou_dtype'))
 

@@ -27,7 +27,14 @@ from .boxes import bbox_overlaps
 
 
 def _use_pallas(k: int, overlap_mode: str) -> bool:
-    """Route to the VMEM-resident Pallas kernel on TPU backends."""
+    """Route to the VMEM-resident Pallas kernel on TPU backends.
+
+    LD_TPU_NO_PALLAS_NMS=1 forces the XLA fallback — an A/B knob for
+    isolating the NMS kernel's share of serving time (docs/PERF.md
+    batch-scaling investigation)."""
+    import os
+    if os.environ.get('LD_TPU_NO_PALLAS_NMS'):
+        return False
     try:
         backend = jax.default_backend()
     except RuntimeError:  # pragma: no cover
@@ -214,7 +221,8 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
                    max_candidates: int = 1024,
                    box_coord_bound: float = 4096.0,
                    nms_cfg: dict = None,
-                   iou_dtype=None):
+                   iou_dtype=None,
+                   approx_topk=None):
     """Class-aware NMS over one image's multi-level candidates.
 
     Parity with /root/reference/mmdet/core/post_processing/bbox_nms.py:70:
@@ -237,7 +245,16 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
     num_anchors, num_classes = mlvl_scores.shape
     flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
     k = min(max_candidates, flat.shape[0])
-    top_scores, top_idx = topk_flat(flat, k)
+    if approx_topk:
+        # the N*C flat top-k is the dominant serving post-processing cost
+        # (~3.3 of 3.5 ms/batch-8, docs/PERF.md batch-scaling probe).
+        # approx_max_k uses the TPU-optimized partial-reduce lowering;
+        # recall_target<1 may drop true top-k candidates — knob
+        # `test_cfg.nms.approx_topk=<recall>`, default off (exact parity)
+        top_scores, top_idx = jax.lax.approx_max_k(
+            flat, k, recall_target=float(approx_topk))
+    else:
+        top_scores, top_idx = topk_flat(flat, k)
     anchor_idx = top_idx // num_classes
     class_idx = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = mlvl_bboxes[anchor_idx]
