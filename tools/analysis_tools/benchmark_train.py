@@ -112,41 +112,52 @@ def main():
 
     rs = np.random.RandomState(0)
     G = args.gts
-    gt = np.zeros((B, G, 4), np.float32)
-    gt[:, :, :2] = rs.uniform(0, 300, (B, G, 2))
-    gt[:, :, 2:] = gt[:, :, :2] + rs.uniform(60, 400, (B, G, 2))
-    batch = dict(
-        image=jnp.asarray(rs.randn(B, H, W, 3).astype(np.float32)),
+    # R distinct batches rotated through the scan: with ONE reused batch
+    # every batch-dependent subcomputation is loop-invariant and XLA's LICM
+    # hoists it out of the scan — measured 34.5 "ms/step" for the full LD
+    # step with the folded teacher, below the student-only MXU floor
+    # (~53 ms at the chip's measured 195.8 TFLOP/s peak), because the
+    # teacher forward ran ONCE for K steps. Real training feeds a new
+    # batch every step; rotating buffers restores that property.
+    R = 2
+    gt = np.zeros((R, B, G, 4), np.float32)
+    gt[..., :2] = rs.uniform(0, 300, (R, B, G, 2))
+    gt[..., 2:] = gt[..., :2] + rs.uniform(60, 400, (R, B, G, 2))
+    batches = dict(
+        image=jnp.asarray(rs.randn(R, B, H, W, 3).astype(np.float32)),
         gt_bboxes=jnp.asarray(gt),
-        gt_labels=jnp.asarray(rs.randint(0, 80, (B, G)).astype(np.int32)),
-        gt_valid=jnp.asarray(np.ones((B, G), bool)),
-        img_hw=jnp.asarray([[H, W]] * B, jnp.float32))
+        gt_labels=jnp.asarray(rs.randint(0, 80, (R, B, G)).astype(np.int32)),
+        gt_valid=jnp.asarray(np.ones((R, B, G), bool)),
+        img_hw=jnp.asarray(np.tile([[[H, W]]], (R, B, 1)).astype(np.float32)))
 
     def loop(n):
         @jax.jit
-        def run(state, batch, tv):
-            def body(s, _):
+        def run(state, batches, tv):
+            def body(s, i):
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, i, 0, keepdims=False), batches)
                 s2, metrics = step_fn(s, batch, tv) if has_teacher else \
                     step_fn(s, batch)
                 return s2, metrics['loss']
-            return jax.lax.scan(body, state, None, length=n)
+            return jax.lax.scan(body, state, jnp.arange(n) % R)
         return run
 
     r1, r3 = loop(K), loop(3 * K)
     print('compiling...', flush=True)
     t0 = time.perf_counter()
-    _, losses = r1(state, batch, tv)
+    _, losses = r1(state, batches, tv)
     np.asarray(losses)
     print(f'compile+first: {time.perf_counter() - t0:.1f}s '
           f'loss={np.asarray(losses)[-1]:.3f}', flush=True)
-    _, losses = r3(state, batch, tv)
+    _, losses = r3(state, batches, tv)
     np.asarray(losses)
 
     t0 = time.perf_counter()
-    _, losses = r1(state, batch, tv)
+    _, losses = r1(state, batches, tv)
     np.asarray(losses)
     t1 = time.perf_counter()
-    _, losses = r3(state, batch, tv)
+    _, losses = r3(state, batches, tv)
     np.asarray(losses)
     t2 = time.perf_counter()
     per_step = ((t2 - t1) - (t1 - t0)) / (2 * K)
