@@ -36,6 +36,10 @@ test_pipeline = [
 max_gts_per_image = 100
 pad_to = [(800, 1088), (800, 1216), (800, 1344),
           (1088, 800), (1216, 800), (1344, 800)]
+# set False to batch in dataset order over these buckets (pad every batch
+# to the bucket fitting its largest image) instead of the shape-grouped
+# reorder above
+group_pad_buckets = True
 data = dict(
     samples_per_gpu=2,
     workers_per_gpu=2,

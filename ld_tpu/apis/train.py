@@ -98,7 +98,9 @@ def train_detector(cfg, work_dir: str, dataset=None, max_steps=None,
                               max_gts, seed=cfg.get('seed', 0),
                               batch_scales=cfg.get('batch_scales'),
                               scale_sampling=cfg.get('scale_sampling',
-                                                     'image_range'))
+                                                     'image_range'),
+                              group_pad_buckets=cfg.get('group_pad_buckets',
+                                                        True))
     steps_per_epoch = len(loader)
     runner_cfg = cfg.get('runner', {})
     if runner_cfg.get('type') == 'IterBasedRunner':

@@ -111,7 +111,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, pad_hw, max_gts: int = 100,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
                  drop_last: bool = False, num_workers: int = 0,
-                 batch_scales=None, scale_sampling: str = 'image_range'):
+                 batch_scales=None, scale_sampling: str = 'image_range',
+                 group_pad_buckets: bool = True):
         # pad_hw: one (H, W) static shape, or a list of shape buckets —
         # each batch is padded to the smallest fitting bucket (bounded
         # recompilation; cheaper multi-scale batches).
@@ -152,6 +153,12 @@ class DataLoader:
                                   'image_range_grouped',
                                   'image_value_grouped')
         self.scale_sampling = scale_sampling
+        # config `group_pad_buckets=False` opts fixed-scale multi-bucket
+        # configs out of the resized-shape bucket reorder (advisor r4: the
+        # reorder changed batch composition for pre-existing 4+-bucket
+        # configs with no switch; the reference's GroupSampler grouping is
+        # likewise flag-gated)
+        self.group_pad_buckets = group_pad_buckets
         self._scale_carriers = _scale_carriers(dataset)
         self.max_gts = max_gts
         self.sampler = GroupBatchSampler(
@@ -197,8 +204,10 @@ class DataLoader:
         maximum — pure reorder, the reference's own aspect-ratio grouping
         (group_sampler.py:10) taken one step finer. Returns None when the
         resized shape is not statically predictable (mstrain, ratio_range,
-        keep_ratio=False, multiple distinct Resizes)."""
-        if self.batch_scales or not isinstance(self.pad_hw[0], tuple) \
+        keep_ratio=False, multiple distinct Resizes); opt out with
+        `group_pad_buckets=False` in the config."""
+        if not self.group_pad_buckets or self.batch_scales \
+                or not isinstance(self.pad_hw[0], tuple) \
                 or len(self.pad_hw) <= 1:
             return None
         seen = set()
@@ -328,7 +337,8 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
                      drop_last: bool = False,
                      num_workers: Optional[int] = None,
                      batch_scales=None,
-                     scale_sampling: str = 'image_range') -> DataLoader:
+                     scale_sampling: str = 'image_range',
+                     group_pad_buckets: bool = True) -> DataLoader:
     """Global-batch loader: batch = samples_per_gpu * num_replicas
     (the SPMD equivalent of per-GPU loaders + DistributedGroupSampler).
 
@@ -342,4 +352,5 @@ def build_dataloader(dataset, samples_per_gpu: int, num_replicas: int = 1,
                       max_gts, shuffle=shuffle, seed=seed,
                       drop_last=drop_last, num_workers=num_workers,
                       batch_scales=batch_scales,
-                      scale_sampling=scale_sampling)
+                      scale_sampling=scale_sampling,
+                      group_pad_buckets=group_pad_buckets)

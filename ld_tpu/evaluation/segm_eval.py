@@ -155,11 +155,28 @@ class SegmEvaluator:
             res = det_results[i]
             boxes = np.asarray(res['boxes'])
             labels = np.asarray(res['labels'])
-            masks = np.asarray(res.get('masks', np.zeros((0, 1, 1))))
-            det_bitmaps = [
-                paste_mask(masks[d], boxes[d] / s, sh, sw)
-                for d in range(len(boxes))
-            ]
+            masks = res.get('masks')
+            if isinstance(masks, (list, tuple)) and len(masks) and (
+                    isinstance(masks[0], dict)
+                    or np.asarray(masks[0]).shape == (h, w)):
+                # RLE-direct / full-size-bitmap detections — the
+                # reference's native segm result format (encode_mask_
+                # results RLEs fed to COCOeval, mmdet coco.py:363); no
+                # paste, just decode + downscale
+                from .coco_mask import decode_segmentation
+                det_bitmaps = [
+                    self._down(decode_segmentation(m, h, w)
+                               if isinstance(m, dict)
+                               else np.asarray(m), h, w)
+                    for m in masks
+                ]
+            else:
+                masks = np.asarray(
+                    masks if masks is not None else np.zeros((0, 1, 1)))
+                det_bitmaps = [
+                    paste_mask(masks[d], boxes[d] / s, sh, sw)
+                    for d in range(len(boxes))
+                ]
             per_img.append((gt_bitmaps, gt_areas, crowd_bitmaps,
                             crowd_areas, ann, boxes, labels, det_bitmaps))
 

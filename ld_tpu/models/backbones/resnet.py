@@ -155,6 +155,7 @@ class Bottleneck(nn.Module):
                 width, kernel_size=3, stride=s2,
                 dilation=self.dilation,
                 deform_groups=self.dcn_deform_groups,
+                groups=self.groups,  # ResNeXt DCN conv2 stays grouped
                 dtype=self.dtype, name='conv2')(out)
         else:
             from ld_tpu.models.layers import make_conv

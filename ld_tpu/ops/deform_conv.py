@@ -51,12 +51,19 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
 
 class ModulatedDeformConv(nn.Module):
     """DCNv2 layer (NHWC). Offset/mask conv is zero-initialized so the layer
-    starts as a plain conv (mmcv init semantics)."""
+    starts as a plain conv (mmcv init semantics).
+
+    `groups` is CONV grouping (ResNeXt cardinality — mmdet resnext.py
+    builds the DCN conv2 with groups=self.groups), independent of
+    `deform_groups` (per-group offset fields). Kernel rows follow the
+    grouped-HWIO flattening (tap * (cin/groups) + cin_idx), matching the
+    checkpoint converter's `_dcn_kernel`."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
     deform_groups: int = 1
+    groups: int = 1
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -89,9 +96,10 @@ class ModulatedDeformConv(nn.Module):
         base_x = px[None, :, None] + kx[None, None, :]   # (1,ow,k*k)
 
         cg = cin // g
+        G = self.groups
         weight = self.param(
             'kernel', nn.initializers.he_normal(),
-            (k * k * cin, self.features), self.dtype)
+            (k * k * (cin // G), self.features), self.dtype)
 
         def per_image(xi, oy, ox, m):
             cols = []
@@ -105,9 +113,21 @@ class ModulatedDeformConv(nn.Module):
                 cols.append(sampled)
             # (oh*ow, k*k, cin) -> contract on the MXU
             col = jnp.concatenate(cols, axis=-1) if g > 1 else cols[0]
+            w32 = weight.astype(jnp.float32)
+            if G > 1:
+                # grouped contraction: out block gi consumes only its own
+                # cin/G input slice (torch grouped-conv semantics)
+                cpg, opg = cin // G, self.features // G
+                colg = col.reshape(oh * ow, k * k, G, cpg)
+                colg = colg.transpose(2, 0, 1, 3).reshape(
+                    G, oh * ow, k * k * cpg)
+                wg = w32.reshape(k * k * cpg, G, opg).transpose(1, 0, 2)
+                out = jnp.einsum('gnc,gco->gno', colg, wg)
+                return out.transpose(1, 0, 2).reshape(
+                    oh * ow, self.features)
             # reorder to (k*k * cin) matching HWIO conv weight layout
             col = col.reshape(oh * ow, k * k * cin)
-            return col @ weight.astype(jnp.float32)
+            return col @ w32
 
         out = jax.vmap(per_image)(x.astype(jnp.float32), off_y, off_x, mask)
         out = out.reshape(b, oh, ow, self.features)

@@ -14,9 +14,16 @@ the length of the longest suppression chain (typically < 10 iterations),
 and the result is EXACTLY greedy NMS.
 
 All outputs are fixed-size with validity masks — jit/vmap/pjit safe.
+
+Serving knobs (see docs/PERF.md "batch-scaling investigation"):
+  * env `LD_TPU_NO_PALLAS_NMS=1` — force the XLA fallback instead of the
+    VMEM Pallas kernel (read at trace time; an A/B isolation knob);
+  * `nms_cfg['approx_topk']` — `jax.lax.approx_max_k` for the flat
+    candidate top-k (non-default: trades exact mmdet parity for ~7%).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -32,7 +39,6 @@ def _use_pallas(k: int, overlap_mode: str) -> bool:
     LD_TPU_NO_PALLAS_NMS=1 forces the XLA fallback — an A/B knob for
     isolating the NMS kernel's share of serving time (docs/PERF.md
     batch-scaling investigation)."""
-    import os
     if os.environ.get('LD_TPU_NO_PALLAS_NMS'):
         return False
     try:
@@ -243,6 +249,11 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
         valid: (max_per_img,) bool.
     """
     num_anchors, num_classes = mlvl_scores.shape
+    if approx_topk is None:
+        # every head routes test_cfg.nms here as nms_cfg, so the knob works
+        # framework-wide, not just for the callers that plumb the kwarg
+        # (advisor r4: GFLHead was the only head passing it explicitly)
+        approx_topk = (nms_cfg or {}).get('approx_topk')
     flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
     k = min(max_candidates, flat.shape[0])
     if approx_topk:

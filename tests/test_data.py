@@ -502,3 +502,50 @@ def test_perimage_mstrain_base_config():
                      scale_sampling='image_value')
     hw2 = {tuple(map(int, x)) for b in dl2 for x in b['img_hw']}
     assert len(hw2) == 2   # exactly the two grid scales (64x96 src fits both)
+
+
+def test_grouped_mstrain_pure_reorder_guardrail():
+    """VERDICT r04 weak #5 / next #7: turn the loader docstring's
+    "grouping is a pure reorder" argument into a pinned invariant. One
+    epoch of 'image_range_grouped' must fetch, for EVERY dataset index,
+    the exact same resized image (same post-Resize hw) as ungrouped
+    'image_range' under the same seed/epoch, and must cover the same
+    index multiset (modulo the group tail-padding duplicates, whose
+    per-index content is identical by determinism). Only the batch
+    composition may differ — the property that distinguishes it from the
+    r3-retired AP-destructive per-batch mode."""
+    pipeline = [
+        dict(type='Resize', img_scale=(128, 96), keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    buckets = [(48, 64), (64, 96), (96, 128), (128, 96), (96, 64), (64, 48)]
+    scales = [(128, 48), (128, 96)]
+
+    def index_to_hw(mode, epoch):
+        dl = DataLoader(
+            SyntheticDetectionDataset(num_images=64, hw=(64, 96),
+                                      pipeline=pipeline),
+            batch_size=8, pad_hw=buckets, max_gts=8, seed=3,
+            batch_scales=scales, scale_sampling=mode)
+        dl.set_epoch(epoch)
+        # reconstruct the deterministic batch index lists the loader uses
+        # (same recipe as DataLoader.__iter__) and zip with yielded batches
+        sc = dl._epoch_scales()
+        keys = dl._bucket_keys(sc) if 'grouped' in mode else None
+        batches = dl.sampler.epoch_batches(dl.epoch, keys=keys)
+        out = {}
+        for idx, b in zip(batches, dl):
+            for j, i in enumerate(map(int, idx)):
+                hw = tuple(map(int, b['img_hw'][j]))
+                assert out.get(i, hw) == hw, (
+                    f'index {i} fetched twice with different hw')
+                out[i] = hw
+        return out
+
+    for epoch in (0, 1):
+        grouped = index_to_hw('image_range_grouped', epoch)
+        plain = index_to_hw('image_range', epoch)
+        # full coverage: every dataset index fetched at least once in both
+        assert set(grouped) == set(plain) == set(range(64))
+        # pure reorder: identical per-index resized shape
+        assert grouped == plain

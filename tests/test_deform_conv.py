@@ -40,3 +40,35 @@ def test_dcn_resnet_builds():
     # DCN blocks carry a conv_offset parameter
     assert 'conv_offset' in v['params']['layer2_0']['conv2']
     assert 'conv_offset' not in v['params']['layer1_0']
+
+
+def test_grouped_zero_offset_equals_half_grouped_conv():
+    """ResNeXt-style grouped DCNv2 (conv groups, not deform groups): at
+    init it must equal 0.5 * grouped conv — pins the grouped contraction
+    and the grouped-HWIO kernel row layout the checkpoint converter
+    emits for X-101-32x4d-DCN teachers (mmdet resnext.py conv2
+    groups=32)."""
+    rng = np.random.RandomState(2)
+    G, cin, cout = 4, 16, 24
+    x = jnp.asarray(rng.randn(2, 9, 11, cin).astype(np.float32))
+    m = ModulatedDeformConv(features=cout, kernel_size=3, groups=G)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert v['params']['kernel'].shape == (9 * cin // G, cout)
+    out = m.apply(v, x)
+    w = v['params']['kernel'].reshape(3, 3, cin // G, cout)
+    conv = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], feature_group_count=G,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(conv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_dcn_resnext_builds():
+    from ld_tpu.models.backbones import ResNeXt
+    m = ResNeXt(depth=50, groups=32, base_width=4,
+                dcn=dict(type='DCNv2', deform_groups=1),
+                stage_with_dcn=(False, False, True, True))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # stage-3 block width = 256*(4/64)*32 = 512, grouped kernel rows
+    # = 9 * 512/32 = 144 (the published X-101-32x4d-DCN ckpt shape)
+    assert v['params']['layer3_0']['conv2']['kernel'].shape == (144, 512)

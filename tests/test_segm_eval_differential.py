@@ -63,12 +63,35 @@ def _rand_crowd_rle(rng, h, w):
     return dict(size=[h, w], counts=runs), m
 
 
+def _nested_or_touching_polys(rng, h, w):
+    """Axis-aligned rectangles that nest or share an edge — IoU matrix
+    entries land exactly on ratio boundaries (containment, adjacency)."""
+    x0, y0 = rng.randint(2, w // 2), rng.randint(2, h // 2)
+    bw, bh = rng.randint(8, w - x0 - 1), rng.randint(8, h - y0 - 1)
+    outer = [float(v) for v in
+             (x0, y0, x0 + bw, y0, x0 + bw, y0 + bh, x0, y0 + bh)]
+    if rng.randint(2):  # nested: inner rect strictly inside
+        ix0, iy0 = x0 + bw // 4, y0 + bh // 4
+        ix1, iy1 = x0 + 3 * bw // 4, y0 + 3 * bh // 4
+    else:  # touching: shares the right edge
+        ix0, iy0 = x0 + bw, y0
+        ix1 = min(w - 1, ix0 + max(4, bw // 2))
+        iy1 = y0 + bh
+    inner = [float(v) for v in
+             (ix0, iy0, ix1, iy0, ix1, iy1, ix0, iy1)]
+    return [outer], [inner]
+
+
 def _make_case(seed):
     rng = np.random.RandomState(seed)
     num_imgs = rng.randint(1, 4)
     num_classes = rng.randint(1, 4)
     h, w = rng.randint(40, 80), rng.randint(40, 80)
     ms = 14  # roi-space mask size
+    # per-case det flavor: roi soft masks pasted through paste_mask
+    # (the model-output path) or RLE-direct full-size masks (the
+    # reference's encode_mask_results format, mmdet coco.py:363)
+    rle_direct = seed % 3 == 2
 
     img_infos, annotations, det_results, oracle_imgs = [], [], [], []
     for i in range(num_imgs):
@@ -76,10 +99,12 @@ def _make_case(seed):
         n_gt = rng.randint(0, 6)
         polys, labels, areas = [], [], []
         o_gts = []
-        for _ in range(n_gt):
-            # multi-part objects sometimes (union semantics)
-            parts = [_rand_poly(rng, h, w)
+        gt_parts = [[_rand_poly(rng, h, w)
                      for _ in range(rng.randint(1, 3))]
+                    for _ in range(n_gt)]
+        if seed % 4 == 3:  # nested/touching rectangles in play
+            gt_parts.extend(_nested_or_touching_polys(rng, h, w))
+        for parts in gt_parts:
             m = poly_to_mask(parts, h, w)
             cat = rng.randint(num_classes)
             # annotation area: analytic-ish, deliberately != pixel count
@@ -116,30 +141,58 @@ def _make_case(seed):
             bw, bh = rng.uniform(3, w * 0.5), rng.uniform(3, h * 0.5)
             boxes[d] = [x0, y0, min(x0 + bw, w), min(y0 + bh, h),
                         rng.uniform(0.05, 1.0)]
-            # blobbier soft mask so pastes aren't salt-and-pepper
-            cy, cx = rng.uniform(3, ms - 3, 2)
+            kind = rng.randint(5)
             yy, xx = np.mgrid[0:ms, 0:ms]
-            dmasks[d] = np.exp(-(((yy - cy)**2 + (xx - cx)**2) /
-                                 rng.uniform(8, 60)))
+            if kind == 0:
+                # empty soft mask: pastes to zero pixels (the matcher must
+                # score it as a guaranteed FP at every threshold)
+                dmasks[d] = 0.0
+            elif kind == 1:
+                # tiny blob in a big box: det mask area << box area, so
+                # area-range bucketing by mask diverges from by-box
+                cy, cx = rng.uniform(3, ms - 3, 2)
+                dmasks[d] = np.exp(-(((yy - cy)**2 + (xx - cx)**2) /
+                                     rng.uniform(0.5, 2.0)))
+            else:
+                # blobbier soft mask so pastes aren't salt-and-pepper
+                cy, cx = rng.uniform(3, ms - 3, 2)
+                dmasks[d] = np.exp(-(((yy - cy)**2 + (xx - cx)**2) /
+                                     rng.uniform(8, 60)))
             pasted = paste_mask(dmasks[d], boxes[d], h, w)
             o_dts.append(dict(mask=pasted, score=float(boxes[d, 4]),
                               cat=int(dlabels[d])))
-        det_results.append(dict(boxes=boxes, labels=dlabels, masks=dmasks))
+        if rle_direct:
+            # hand the evaluator full-size RLEs of the SAME pasted masks —
+            # the production rle_encode/decode_segmentation round trip must
+            # reproduce the pasted-path metrics exactly
+            from ld_tpu.evaluation.segm_eval import rle_encode
+            det_results.append(dict(
+                boxes=boxes, labels=dlabels,
+                masks=[rle_encode(o['mask']) for o in o_dts]))
+        else:
+            det_results.append(dict(boxes=boxes, labels=dlabels,
+                                    masks=dmasks))
         oracle_imgs.append(dict(gts=o_gts, dts=o_dts))
     ds = _FakeDataset(img_infos, annotations, num_classes)
     return ds, det_results, oracle_imgs, num_classes
 
 
 def test_segm_eval_matches_pycocotools_oracle():
+    # 100 randomized cases (VERDICT r04 missing #4: match the bbox
+    # oracle's fuzz standard), cycling in RLE-direct det inputs (every
+    # 3rd seed), nested/touching GT rectangles (every 4th), empty-mask
+    # and tiny-blob-in-big-box dets (per-det kinds)
     bad = []
-    exercised_crowd = exercised_multi = 0
-    for seed in range(25):
+    exercised_crowd = exercised_multi = exercised_rle = 0
+    for seed in range(100):
         ds, det_results, oracle_imgs, K = _make_case(seed)
         got = SegmEvaluator(ds, scale=1).evaluate(det_results)
         want = oracle.evaluate_oracle(oracle_imgs, K)
         exercised_crowd += sum(g['iscrowd'] for im in oracle_imgs
                                for g in im['gts'])
         exercised_multi += sum(len(a['masks']) > 0 for a in ds.annotations)
+        exercised_rle += sum(isinstance(r['masks'], list)
+                             for r in det_results)
         for key, v in want.items():
             g = got[key]
             if np.isnan(v) and np.isnan(g):
@@ -147,8 +200,9 @@ def test_segm_eval_matches_pycocotools_oracle():
             if not (abs(v - g) < 1e-6):
                 bad.append((seed, key, g, v))
     assert not bad, bad[:20]
-    assert exercised_crowd > 5  # crowds actually in play
-    assert exercised_multi > 5
+    assert exercised_crowd > 20   # crowds actually in play
+    assert exercised_multi > 20
+    assert exercised_rle > 20     # RLE-direct det path actually in play
 
 
 def test_segm_eval_area_field_not_pixel_count():

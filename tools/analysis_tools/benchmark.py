@@ -88,6 +88,17 @@ def main():
         'img_hw': jnp.asarray([[h, w]] * b, jnp.float32),
     }
 
+    if args.stage != 'e2e' and not (
+            hasattr(det, 'apply') and hasattr(det, 'bbox_head')
+            and hasattr(det.bbox_head, 'get_bboxes')):
+        # the raw/decode splits address the single-stage serving path
+        # (advisor r4: two-stage/sparse detectors expose extract()/roi_head
+        # and would crash below with a bare AttributeError)
+        raise SystemExit(
+            f'--stage {args.stage} supports single-stage detectors only '
+            f'(dense bbox_head with get_bboxes); {type(det).__name__} '
+            f'from {args.config} is not one — use --stage e2e')
+
     if args.stage == 'raw':
         def fwd(v, b):
             outs = det.apply(v, b['image'], train=False)

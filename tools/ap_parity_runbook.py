@@ -55,11 +55,13 @@ def synth_mmdet_gfl_state_dict(depth=50, num_classes=80, feat=256,
                                stacked=4, reg_max=16,
                                stage_with_dcn=(False, False, False, False),
                                gflv2=False, reg_topk=4, reg_channels=64,
-                               seed=0):
+                               groups=1, base_width=64, seed=0):
     """A random state dict with EXACTLY the keys/shapes of a published
     mmdet GFL/GFocalV2 checkpoint — the dry-run stand-in for real .pth
-    files. BasicBlock for R18/R34, Bottleneck otherwise; optional DCN
-    conv_offset keys; optional DGQP reg_conf branch (GFLV2,
+    files. BasicBlock for R18/R34, Bottleneck otherwise, grouped-conv
+    ResNeXt Bottleneck when groups>1 (mmdet resnext.py width =
+    planes * (base_width/64) * groups); optional DCN conv_offset keys;
+    optional DGQP reg_conf branch (GFLV2,
     /root/reference/mmdet/models/dense_heads/gfocal_head.py:145-149)."""
     rs = np.random.RandomState(seed)
 
@@ -82,6 +84,8 @@ def synth_mmdet_gfl_state_dict(depth=50, num_classes=80, feat=256,
     for s, nblocks in enumerate(RESNET_BLOCKS[depth], start=1):
         planes = 64 * 2 ** (s - 1)
         out_ch = planes if basic else planes * 4
+        width = planes if groups == 1 else \
+            int(planes * (base_width / 64.0)) * groups
         for b in range(nblocks):
             p = f'backbone.layer{s}.{b}'
             if basic:
@@ -93,14 +97,14 @@ def synth_mmdet_gfl_state_dict(depth=50, num_classes=80, feat=256,
                     sd[f'{p}.conv2.conv_offset.bias'] = t(27)
                 bn(f'{p}.bn2', planes)
             else:
-                sd[f'{p}.conv1.weight'] = t(planes, in_ch, 1, 1)
-                bn(f'{p}.bn1', planes)
-                sd[f'{p}.conv2.weight'] = t(planes, planes, 3, 3)
+                sd[f'{p}.conv1.weight'] = t(width, in_ch, 1, 1)
+                bn(f'{p}.bn1', width)
+                sd[f'{p}.conv2.weight'] = t(width, width // groups, 3, 3)
                 if stage_with_dcn[s - 1]:
-                    sd[f'{p}.conv2.conv_offset.weight'] = t(27, planes, 3, 3)
+                    sd[f'{p}.conv2.conv_offset.weight'] = t(27, width, 3, 3)
                     sd[f'{p}.conv2.conv_offset.bias'] = t(27)
-                bn(f'{p}.bn2', planes)
-                sd[f'{p}.conv3.weight'] = t(planes * 4, planes, 1, 1)
+                bn(f'{p}.bn2', width)
+                sd[f'{p}.conv3.weight'] = t(planes * 4, width, 1, 1)
                 bn(f'{p}.bn3', planes * 4)
             if b == 0 and (s > 1 or not basic):
                 sd[f'{p}.downsample.0.weight'] = t(out_ch, in_ch, 1, 1)
@@ -195,10 +199,52 @@ ROWS = {
                       kind='train', dataset='voc',
                       teacher=dict(depth=101, num_classes=20),
                       source='README.md:178 (54.0 with VLR KD, :238)'),
+    # ---- self-LD rows (README.md:144, :148) ----
+    'ld_r18_self_1x': Row('configs/ld/ld_r18_self_fpn_coco_1x.py', 36.1,
+                          kind='train', teacher=dict(depth=18),
+                          source='README.md:144 (self-LD R18)'),
+    'ld_x101_dcn_self_2x': Row(
+        'configs/ld/ld_x101_32x4d_dcn_self_2x_coco.py', 47.5, kind='train',
+        teacher=dict(depth=101, groups=32, base_width=4,
+                     stage_with_dcn=(False, False, True, True)),
+        source='README.md:148 (self-LD X-101-32x4d-DCN)'),
+    # ---- imitation-ablation arms (README.md:157-161; R-101 -> R-50) ----
+    'im_fitnets_r50': Row('configs/im/im_r101_r50_fitnets_1x.py', 40.7,
+                          kind='train', teacher=dict(depth=101),
+                          source='README.md:158 (FitNets)'),
+    'im_inside_gt_r50': Row('configs/im/im_r101_r50_inside_gt_1x.py', 40.7,
+                            kind='train', teacher=dict(depth=101),
+                            source='README.md:159 (Inside GT Box)'),
+    'im_finegrained_r50': Row('configs/im/im_r101_r50_finegrained_1x.py',
+                              41.1, kind='train', teacher=dict(depth=101),
+                              source='README.md:160 (Fine-Grained)'),
+    'im_defeat_r50': Row('configs/im/im_r101_r50_defeat_1x.py', 40.8,
+                         kind='train', teacher=dict(depth=101),
+                         source='README.md:161 (DeFeat)'),
+    # ---- remaining VOC rows (README.md:179-184) ----
+    'gfl_r50_voc': Row('configs/gfl/gfl_r50_fpn1x_voc.py', 55.8,
+                       dataset='voc', student=dict(depth=50,
+                                                   num_classes=20),
+                       source='README.md:179'),
+    'ld_r50_voc': Row('configs/ld/ld_r50_gflv1_r101_fpn_voc_1x.py', 56.1,
+                      kind='train', dataset='voc',
+                      teacher=dict(depth=101, num_classes=20),
+                      source='README.md:180 (R101->R50 VOC)'),
+    'ld_r34_dcn_voc': Row('configs/ld/ld_r34_gflv1_r101dcn_fpn_voc_1x.py',
+                          56.7, kind='train', dataset='voc',
+                          teacher=dict(depth=101, num_classes=20,
+                                       stage_with_dcn=(False, True, True,
+                                                       True)),
+                          source='README.md:182 (R101-DCN->R34 VOC)'),
+    'ld_r101_dcn_voc': Row('configs/ld/ld_r101_gflv1_r101dcn_fpn_voc_1x.py',
+                           58.4, kind='train', dataset='voc',
+                           teacher=dict(depth=101, num_classes=20,
+                                        stage_with_dcn=(False, True, True,
+                                                        True)),
+                           source='README.md:184 (R101-DCN->R101 VOC)'),
 }
-# NOT covered (documented gaps, no shipped reference config to mirror):
-# self-LD X-101-32x4d-DCN (README.md:148) needs a ResNeXt-DCN synth spec;
-# test-dev rows are leaderboard submissions, not locally reproducible.
+# NOT covered: test-dev rows (leaderboard submissions, not locally
+# reproducible). Everything else in BASELINE.md has a named row above.
 
 
 def _apply_data_root(cfg, dataset, root):
