@@ -1,6 +1,9 @@
-# Multi-scale training 480..800, per-image — kept as a backward-compat
-# alias: per-IMAGE range sampling became the DEFAULT of
-# ./mstrain_480_800.py after the miniature A/B measured per-batch
-# sampling AP-negative (docs/EXPERIMENTS.md). Configs and runbooks that
-# pinned this base for AP-parity keep exact reference semantics either way.
+# Multi-scale training 480..800 with exact reference BATCHING semantics:
+# per-image range draw, batches in aspect-group order only (each batch
+# pads to its members' max bucket — the reference GroupSampler behavior).
+# ./mstrain_480_800.py switched its default to 'image_range_grouped'
+# (same per-image draw, scale-grouped batch composition, 1.19x cheaper
+# epochs, AP-clean in the 3-seed A/B — docs/EXPERIMENTS.md); pin THIS
+# base to reproduce the reference's batch composition exactly.
 _base_ = './mstrain_480_800.py'
+scale_sampling = 'image_range'

@@ -228,7 +228,8 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
                    box_coord_bound: float = 4096.0,
                    nms_cfg: dict = None,
                    iou_dtype=None,
-                   approx_topk=None):
+                   approx_topk=None,
+                   exact_preprune: bool = None):
     """Class-aware NMS over one image's multi-level candidates.
 
     Parity with /root/reference/mmdet/core/post_processing/bbox_nms.py:70:
@@ -254,16 +255,36 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
         # framework-wide, not just for the callers that plumb the kwarg
         # (advisor r4: GFLHead was the only head passing it explicitly)
         approx_topk = (nms_cfg or {}).get('approx_topk')
-    flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
+    masked = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0)
+    flat = masked.reshape(-1)
     k = min(max_candidates, flat.shape[0])
     if approx_topk:
-        # the N*C flat top-k is the dominant serving post-processing cost
-        # (~3.3 of 3.5 ms/batch-8, docs/PERF.md batch-scaling probe).
         # approx_max_k uses the TPU-optimized partial-reduce lowering;
         # recall_target<1 may drop true top-k candidates — knob
         # `test_cfg.nms.approx_topk=<recall>`, default off (exact parity)
         top_scores, top_idx = jax.lax.approx_max_k(
             flat, k, recall_target=float(approx_topk))
+    elif (exact_preprune if exact_preprune is not None
+          else (num_anchors > 2 * k and num_classes > 1)):
+        # EXACT anchor pre-prune for the N*C flat top-k — the dominant
+        # serving post-processing cost (3.33 of 3.53 ms/batch-8, docs/
+        # PERF.md batch-scaling probe). Every pair in the global top-k
+        # belongs to an anchor whose per-anchor class max is itself among
+        # the top-k anchor maxes: if anchor a is outside that set, >= k
+        # anchors each contribute a pair (their max) strictly above every
+        # pair of a, so no pair of a can rank top-k. The flat stage then
+        # reads k*C values instead of N*C (400k -> 82k at GFL serving
+        # shapes). Selected anchors are re-sorted ascending so intra-set
+        # tie-breaking follows original flat order (exactness standard of
+        # tests/test_nms.py::test_topk_flat_exact_vs_lax: exact on untied
+        # scores; boundary ties may swap equal-scored pairs, same caveat
+        # as topk_flat's lane grouping).
+        n_anch = min(k, num_anchors)
+        _, anch = topk_flat(masked.max(axis=1), n_anch)
+        anch = jnp.sort(anch)
+        top_scores, sub_idx = topk_flat(masked[anch].reshape(-1), k)
+        top_idx = (anch[sub_idx // num_classes] * num_classes
+                   + sub_idx % num_classes)
     else:
         top_scores, top_idx = topk_flat(flat, k)
     anchor_idx = top_idx // num_classes

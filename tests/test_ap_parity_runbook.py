@@ -25,9 +25,11 @@ def test_runbook_all_rows_convert(tmp_path):
 
 
 @pytest.mark.parametrize('name', ['gfl_r50_1x', 'ldv2_r50_1x',
-                                  'ld_r18_voc'])
+                                  'ld_r18_voc', 'ld_x101_dcn_self_2x',
+                                  'im_defeat_r50'])
 def test_runbook_full_dry_run(tmp_path, name):
     """Full dry-run (eval / one real LD train step) on one zero-train
-    COCO row, the GFLV2-student row, and the VOC train row."""
+    COCO row, the GFLV2-student row, the VOC train row, the grouped-DCN
+    ResNeXt self-LD row and one imitation-ablation arm (r5 additions)."""
     ROWS, dry_run_row = _rows()
     dry_run_row(name, ROWS[name], str(tmp_path))

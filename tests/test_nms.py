@@ -122,3 +122,42 @@ def test_topk_flat_exact_vs_lax():
         # returned indices must address the returned values
         np.testing.assert_array_equal(np.asarray(x)[np.asarray(idx)],
                                       np.asarray(v_ref))
+
+
+def test_exact_preprune_matches_flat_topk():
+    """The serving-shape anchor pre-prune (top-k anchors by per-anchor
+    class max, then flat top-k over k*C instead of N*C) must reproduce
+    lax.top_k over the full flat matrix exactly — values AND original
+    flat indices — on untied random scores (the topk_flat exactness
+    standard). Shapes are the real GFL serving case: 5000x80 = 400k."""
+    from ld_tpu.ops.nms import topk_flat
+    rs = np.random.RandomState(7)
+    for n, c, k in [(5000, 80, 1024), (16800, 20, 1000), (3000, 80, 1024)]:
+        scores = rs.rand(n, c).astype(np.float32)
+        # realistic sparsity: most pairs below the 0.05 serving threshold
+        scores = np.where(rs.rand(n, c) < 0.9, scores * 0.05, scores)
+        masked = jnp.asarray(np.where(scores > 0.05, scores, 0.0))
+        ref_v, ref_i = jax.lax.top_k(masked.reshape(-1), k)
+        anch = jnp.sort(topk_flat(masked.max(axis=1), min(k, n))[1])
+        v, si = topk_flat(masked[anch].reshape(-1), k)
+        idx = anch[si // c] * c + si % c
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
+
+def test_multiclass_nms_preprune_wiring_identical():
+    """multiclass_nms with the pre-prune engaged (auto at serving shapes)
+    returns bit-identical detections to the full-flat path."""
+    rs = np.random.RandomState(11)
+    n, c = 3000, 20
+    boxes = rs.rand(n, 4).astype(np.float32) * 64
+    boxes = np.concatenate([boxes[:, :2], boxes[:, :2] + 4 +
+                            boxes[:, 2:] * 0.5], axis=1)
+    scores = (rs.rand(n, c) ** 4).astype(np.float32)
+    args = (jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.6, 100, 1024)
+    d_on, l_on, v_on = multiclass_nms(*args, exact_preprune=True)
+    d_off, l_off, v_off = multiclass_nms(*args, exact_preprune=False)
+    np.testing.assert_array_equal(np.asarray(d_on), np.asarray(d_off))
+    np.testing.assert_array_equal(np.asarray(l_on), np.asarray(l_off))
+    np.testing.assert_array_equal(np.asarray(v_on), np.asarray(v_off))
+    assert bool(np.asarray(v_on).any())
