@@ -34,6 +34,8 @@ def main():
     ap.add_argument('--hw', type=int, nargs=2, default=(800, 1344))
     ap.add_argument('--k', type=int, default=4,
                     help='steps per timed jit call')
+    ap.add_argument('--reps', type=int, default=3,
+                    help='two-point pairs to median over (tunnel noise)')
     ap.add_argument('--gts', type=int, default=40,
                     help='padded GT boxes per image')
     ap.add_argument('--remat', action='store_true')
@@ -153,17 +155,25 @@ def main():
     _, losses = r3(state, batches, tv)
     np.asarray(losses)
 
-    t0 = time.perf_counter()
-    _, losses = r1(state, batches, tv)
-    np.asarray(losses)
-    t1 = time.perf_counter()
-    _, losses = r3(state, batches, tv)
-    np.asarray(losses)
-    t2 = time.perf_counter()
-    per_step = ((t2 - t1) - (t1 - t0)) / (2 * K)
+    # repeat the two-point pair and take the MEDIAN: a single K-vs-3K pair
+    # is defenseless against tunnel latency spikes (one r5 run measured a
+    # NEGATIVE step time when a spike landed inside the K window)
+    samples = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        _, losses = r1(state, batches, tv)
+        np.asarray(losses)
+        t1 = time.perf_counter()
+        _, losses = r3(state, batches, tv)
+        np.asarray(losses)
+        t2 = time.perf_counter()
+        samples.append(((t2 - t1) - (t1 - t0)) / (2 * K))
+    per_step = float(np.median(samples))
+    spread = (max(samples) - min(samples)) / 2 * 1000
     print(f'{os.path.basename(args.config)} train step @ batch {B} '
           f'{H}x{W}{" remat" if args.remat else ""}: '
-          f'{per_step * 1000:.1f} ms/step = {B / per_step:.1f} img/s/chip')
+          f'{per_step * 1000:.1f} ms/step = {B / per_step:.1f} img/s/chip '
+          f'(median of {args.reps}, spread +-{spread:.1f} ms)')
 
 
 if __name__ == '__main__':
