@@ -458,18 +458,22 @@ def test_detr_autoaugment_pipeline_runs():
 
 
 def test_perimage_mstrain_base_config():
-    """The mainline mstrain base keeps the reference's PER-IMAGE range
-    sampling: scale_sampling='image_range' re-arms the pipeline's own
-    Resize with the endpoint scales, so each image draws its own short
-    side (the per-batch deviation is opt-in via mstrain_480_800_perbatch,
-    measured AP-negative in docs/EXPERIMENTS.md)."""
+    """mstrain bases keep the reference's PER-IMAGE draw. Since r5 the
+    mainline default is 'image_range_grouped' (same per-image draw,
+    scale-grouped batch composition — AP-clean 3-seed A/B,
+    docs/EXPERIMENTS.md); the _perimage alias pins exact reference
+    BATCHING, and the per-batch deviation stays opt-in (measured
+    AP-negative)."""
     import os
     from ld_tpu import Config
     root = os.path.join(os.path.dirname(__file__), '..')
-    for name in ('configs/gfl/gfl_r50_fpn_mstrain_2x_coco.py',
-                 'configs/gfl/gfl_r50_fpn_mstrain_2x_coco_perimage.py'):
+    expected = {
+        'configs/gfl/gfl_r50_fpn_mstrain_2x_coco.py': 'image_range_grouped',
+        'configs/gfl/gfl_r50_fpn_mstrain_2x_coco_perimage.py': 'image_range',
+    }
+    for name, want in expected.items():
         cfg = Config.fromfile(os.path.join(root, name))
-        assert cfg.get('scale_sampling', 'image_range') == 'image_range'
+        assert cfg.get('scale_sampling', 'image_range') == want, name
         assert len(cfg.pad_to) == 12
         assert tuple(cfg.batch_scales[0]) == (1333, 480)
         assert tuple(cfg.batch_scales[-1]) == (1333, 800)
