@@ -219,6 +219,37 @@ def _cluster_nms_keep_classed(boxes, class_idx, iou_threshold, valid,
     return keep
 
 
+def _topk_pairs(masked: jnp.ndarray, k: int,
+                exact_preprune: bool = None):
+    """Top-k (anchor, class) pairs of a thresholded (N, C) score matrix;
+    returns (values, flat indices) exactly like lax.top_k on the flat
+    array (on untied scores).
+
+    EXACT anchor pre-prune for the N*C flat top-k — the dominant serving
+    post-processing cost (3.33 of 3.53 ms/batch-8, docs/PERF.md
+    batch-scaling probe). Every pair in the global top-k belongs to an
+    anchor whose per-anchor class max is itself among the top-k anchor
+    maxes: if anchor a is outside that set, >= k anchors each contribute
+    a pair (their max) strictly above every pair of a, so no pair of a
+    can rank top-k. The flat stage then reads k*C values instead of N*C
+    (400k -> 82k at GFL serving shapes; measured 3.53 -> 1.04 ms/batch-8,
+    e2e 227 -> 241 img/s). Selected anchors are re-sorted ascending so
+    intra-set tie-breaking follows original flat order (exactness
+    standard of tests/test_nms.py::test_topk_flat_exact_vs_lax: exact on
+    untied scores; boundary ties may swap equal-scored pairs, same
+    caveat as topk_flat's lane grouping)."""
+    num_anchors, num_classes = masked.shape
+    if (exact_preprune if exact_preprune is not None
+            else (num_anchors > 2 * k and num_classes > 1)):
+        n_anch = min(k, num_anchors)
+        _, anch = topk_flat(masked.max(axis=1), n_anch)
+        anch = jnp.sort(anch)
+        top_scores, sub_idx = topk_flat(masked[anch].reshape(-1), k)
+        return top_scores, (anch[sub_idx // num_classes] * num_classes
+                            + sub_idx % num_classes)
+    return topk_flat(masked.reshape(-1), k)
+
+
 def multiclass_nms(mlvl_bboxes: jnp.ndarray,
                    mlvl_scores: jnp.ndarray,
                    score_thr: float,
@@ -256,37 +287,15 @@ def multiclass_nms(mlvl_bboxes: jnp.ndarray,
         # (advisor r4: GFLHead was the only head passing it explicitly)
         approx_topk = (nms_cfg or {}).get('approx_topk')
     masked = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0)
-    flat = masked.reshape(-1)
-    k = min(max_candidates, flat.shape[0])
+    k = min(max_candidates, masked.size)
     if approx_topk:
         # approx_max_k uses the TPU-optimized partial-reduce lowering;
         # recall_target<1 may drop true top-k candidates — knob
         # `test_cfg.nms.approx_topk=<recall>`, default off (exact parity)
         top_scores, top_idx = jax.lax.approx_max_k(
-            flat, k, recall_target=float(approx_topk))
-    elif (exact_preprune if exact_preprune is not None
-          else (num_anchors > 2 * k and num_classes > 1)):
-        # EXACT anchor pre-prune for the N*C flat top-k — the dominant
-        # serving post-processing cost (3.33 of 3.53 ms/batch-8, docs/
-        # PERF.md batch-scaling probe). Every pair in the global top-k
-        # belongs to an anchor whose per-anchor class max is itself among
-        # the top-k anchor maxes: if anchor a is outside that set, >= k
-        # anchors each contribute a pair (their max) strictly above every
-        # pair of a, so no pair of a can rank top-k. The flat stage then
-        # reads k*C values instead of N*C (400k -> 82k at GFL serving
-        # shapes). Selected anchors are re-sorted ascending so intra-set
-        # tie-breaking follows original flat order (exactness standard of
-        # tests/test_nms.py::test_topk_flat_exact_vs_lax: exact on untied
-        # scores; boundary ties may swap equal-scored pairs, same caveat
-        # as topk_flat's lane grouping).
-        n_anch = min(k, num_anchors)
-        _, anch = topk_flat(masked.max(axis=1), n_anch)
-        anch = jnp.sort(anch)
-        top_scores, sub_idx = topk_flat(masked[anch].reshape(-1), k)
-        top_idx = (anch[sub_idx // num_classes] * num_classes
-                   + sub_idx % num_classes)
+            masked.reshape(-1), k, recall_target=float(approx_topk))
     else:
-        top_scores, top_idx = topk_flat(flat, k)
+        top_scores, top_idx = _topk_pairs(masked, k, exact_preprune)
     anchor_idx = top_idx // num_classes
     class_idx = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = mlvl_bboxes[anchor_idx]
@@ -360,9 +369,9 @@ def multiclass_nms_voting(mlvl_bboxes, mlvl_scores, score_thr, iou_threshold,
     as a score*exp(-(1-IoU)^2/sigma)-weighted average of same-class boxes.
     """
     num_anchors, num_classes = mlvl_scores.shape
-    flat = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0).reshape(-1)
-    k = min(max_candidates, flat.shape[0])
-    top_scores, top_idx = topk_flat(flat, k)
+    masked = jnp.where(mlvl_scores > score_thr, mlvl_scores, 0.0)
+    k = min(max_candidates, masked.size)
+    top_scores, top_idx = _topk_pairs(masked, k)
     anchor_idx = top_idx // num_classes
     class_idx = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = mlvl_bboxes[anchor_idx]
