@@ -85,20 +85,41 @@ class GroupBatchSampler:
         extended to the scale axis."""
         groups = self.flags if keys is None else np.asarray(keys)
         rng = np.random.RandomState(self.seed + epoch)
-        batches = []
+        batches, leftover = [], []
+        b = self.batch_size
         for g in np.unique(groups):
             idx = np.nonzero(groups == g)[0]
             if self.shuffle:
                 idx = idx[rng.permutation(len(idx))]
-            # pad the tail so every batch is full (reference GroupSampler
-            # rounds up with repeated samples)
-            rem = len(idx) % self.batch_size
-            if rem and not self.drop_last:
-                extra = idx[rng.randint(0, len(idx), self.batch_size - rem)]
-                idx = np.concatenate([idx, extra])
-            elif rem:
-                idx = idx[:len(idx) - rem]
-            batches.extend(np.split(idx, len(idx) // self.batch_size))
+            rem = len(idx) % b
+            full = idx[:len(idx) - rem] if rem else idx
+            if len(full):
+                batches.extend(np.split(full, len(full) // b))
+            if rem:
+                leftover.append(idx[len(idx) - rem:])
+        # Group tails are MERGED into shared (bucket-heterogeneous) batches
+        # instead of padding each group to a full batch with duplicates
+        # (the reference GroupSampler's round-up, group_sampler.py:36):
+        # per-group padding makes the epoch's batch count depend on the
+        # group partition (worst case +groups-1 batches over ceil(n/b)),
+        # which breaks every consumer that assumes len(loader) batches per
+        # epoch — the LR schedule's steps_per_epoch and the preemption
+        # resume arithmetic (apis/train.py start_epoch/skip) above all.
+        # Merged tails keep the count EXACTLY ceil(n/b) (floor for
+        # drop_last) in every grouping mode; collate_batch re-selects each
+        # batch's pad bucket from actual shapes, so a mixed tail batch
+        # costs only padding efficiency, never correctness.
+        if leftover:
+            left = np.concatenate(leftover)
+            if self.drop_last:
+                left = left[:len(left) - len(left) % b]
+            else:
+                pad = (-len(left)) % b
+                if pad:
+                    left = np.concatenate(
+                        [left, left[rng.randint(0, len(left), pad)]])
+            if len(left):
+                batches.extend(np.split(left, len(left) // b))
         if self.shuffle:
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]
@@ -172,9 +193,12 @@ class DataLoader:
         self.epoch = epoch
 
     def __len__(self):
+        # EXACT epoch batch count in every grouping mode (the sampler
+        # merges group tails to guarantee it) — steps_per_epoch and the
+        # preemption-resume arithmetic depend on this being exact
         n = len(self.dataset)
         b = self.batch_size
-        return (n + b - 1) // b
+        return n // b if self.sampler.drop_last else (n + b - 1) // b
 
     def _epoch_scales(self) -> Optional[List]:
         """Per-image mstrain scale draw for this epoch (deterministic in

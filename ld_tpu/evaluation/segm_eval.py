@@ -162,14 +162,21 @@ class SegmEvaluator:
                 # RLE-direct / full-size-bitmap detections — the
                 # reference's native segm result format (encode_mask_
                 # results RLEs fed to COCOeval, mmdet coco.py:363); no
-                # paste, just decode + downscale
+                # paste, just decode + downscale. Float full-size masks
+                # binarize at 0.5 exactly like the paste path (a raw
+                # astype would truncate probabilities to all-zero under
+                # the uint8 downscale — r5 review finding).
                 from .coco_mask import decode_segmentation
-                det_bitmaps = [
-                    self._down(decode_segmentation(m, h, w)
-                               if isinstance(m, dict)
-                               else np.asarray(m), h, w)
-                    for m in masks
-                ]
+
+                def to_bitmap(m):
+                    if isinstance(m, dict):
+                        return decode_segmentation(m, h, w)
+                    m = np.asarray(m)
+                    return m >= 0.5 if m.dtype.kind == 'f' \
+                        else m.astype(bool)
+
+                det_bitmaps = [self._down(to_bitmap(m), h, w)
+                               for m in masks]
             else:
                 masks = np.asarray(
                     masks if masks is not None else np.zeros((0, 1, 1)))

@@ -130,14 +130,16 @@ class RegNet(nn.Module):
                                 dtype=self.dtype)(out, train)
                 out = nn.relu(out)
                 if self.dcn is not None and self.stage_with_dcn[stage]:
-                    # mdconv: modulated DCN on the 3x3 (the reference keeps
-                    # the channel grouping inside DCN; here the deformable
-                    # sampling is ungrouped — documented deviation, the
-                    # offset field is shared across groups either way)
+                    # mdconv: modulated DCN on the 3x3, with the channel
+                    # grouping kept INSIDE the DCN exactly like the
+                    # reference (mmcv build_conv_layer(dcn, ...,
+                    # groups=groups)) — grouped kernels match converted
+                    # RegNetX-DCN checkpoints leaf-for-leaf
                     from ld_tpu.ops.deform_conv import ModulatedDeformConv
                     out = ModulatedDeformConv(
                         bottleneck_width, kernel_size=3, stride=s,
                         deform_groups=self.dcn.get('deform_groups', 1),
+                        groups=groups,
                         dtype=self.dtype,
                         name=f'layer{stage+1}_{b}_conv2')(out)
                 else:

@@ -553,3 +553,46 @@ def test_grouped_mstrain_pure_reorder_guardrail():
         assert set(grouped) == set(plain) == set(range(64))
         # pure reorder: identical per-index resized shape
         assert grouped == plain
+
+
+def test_epoch_batch_count_exact_in_all_grouping_modes():
+    """len(loader) must equal the ACTUAL number of yielded batches in
+    every grouping mode (r5 review finding: per-group tail padding made
+    grouped epochs yield up to groups-1 extra batches over ceil(n/b),
+    silently corrupting steps_per_epoch and the preemption-resume skip
+    arithmetic). Group tails are merged into shared batches instead."""
+    pipeline = [
+        dict(type='Resize', img_scale=(128, 96), keep_ratio=True),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+    ]
+    buckets = [(48, 64), (64, 96), (96, 128), (128, 96), (96, 64), (64, 48)]
+    for n in (61, 64, 67):
+        for mode, scales in (('image_range_grouped', [(128, 48), (128, 96)]),
+                             ('image_range', [(128, 48), (128, 96)]),
+                             ('image_value_grouped', [(96, 64), (128, 96)])):
+            dl = DataLoader(
+                SyntheticDetectionDataset(num_images=n, hw=(64, 96),
+                                          pipeline=pipeline),
+                batch_size=8, pad_hw=buckets, max_gts=8, seed=3,
+                batch_scales=scales, scale_sampling=mode)
+            for epoch in (0, 1):
+                dl.set_epoch(epoch)
+                got = sum(1 for _ in dl)
+                assert got == len(dl) == -(-n // 8), (mode, n, epoch, got)
+        # fixed-scale bucket grouping mode too (identity-scale pipeline so
+        # resized shapes stay inside the two buckets)
+        from ld_tpu.data.dataset_wrappers import ConcatDataset
+        fixed_pipe = [
+            dict(type='Resize', img_scale=(96, 64), keep_ratio=True),
+            dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1],
+                 to_rgb=False),
+        ]
+        ds = ConcatDataset([
+            SyntheticDetectionDataset(num_images=n // 2, hw=(64, 96),
+                                      pipeline=fixed_pipe, seed=0),
+            SyntheticDetectionDataset(num_images=n - n // 2, hw=(48, 96),
+                                      pipeline=fixed_pipe, seed=1),
+        ])
+        dl = DataLoader(ds, batch_size=8, pad_hw=[(48, 96), (64, 96)],
+                        max_gts=8, seed=0)
+        assert sum(1 for _ in dl) == len(dl) == -(-n // 8)

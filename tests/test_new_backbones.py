@@ -182,3 +182,20 @@ def test_resnest_split_attention():
                                        (1, 4, 4, 1024), (1, 2, 2, 2048)]
     n = sum(p.size for p in jax.tree_util.tree_leaves(v['params']))
     assert 25.0e6 < n < 26.0e6, n
+
+
+def test_regnet_grouped_dcn_kernel_shape():
+    """RegNet DCN stages keep the channel grouping inside the DCN conv2
+    (r5 review finding: the converter emits grouped kernels from
+    RegNetX-DCN checkpoints, so the model must too)."""
+    net = BACKBONES.build(dict(
+        type='RegNet', arch='regnetx_400mf',
+        dcn=dict(type='DCNv2', deform_groups=1),
+        stage_with_dcn=(False, True, True, True)))
+    v = net.init(RNG, jnp.zeros((1, 64, 64, 3)))
+    # stage 2: width 64, group_width 16 -> 4 conv groups -> grouped
+    # kernel rows 9*64/4 = 144 (ungrouped would be 576)
+    k = v['params']['layer2_0_conv2']['kernel']
+    assert k.shape == (144, 64), k.shape
+    out = net.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert out[1].shape[-1] == 64

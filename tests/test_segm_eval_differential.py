@@ -169,6 +169,15 @@ def _make_case(seed):
             det_results.append(dict(
                 boxes=boxes, labels=dlabels,
                 masks=[rle_encode(o['mask']) for o in o_dts]))
+        elif seed % 5 == 4 and n_det:
+            # full-size FLOAT soft masks: must binarize at 0.5 (the r5
+            # review found a raw astype truncated probabilities to empty
+            # masks); constructed so >=0.5 recovers the pasted bitmap
+            det_results.append(dict(
+                boxes=boxes, labels=dlabels,
+                masks=[o['mask'] * rng.uniform(0.5, 1.0)
+                       + (~o['mask']) * rng.uniform(0.0, 0.49)
+                       for o in o_dts]))
         else:
             det_results.append(dict(boxes=boxes, labels=dlabels,
                                     masks=dmasks))

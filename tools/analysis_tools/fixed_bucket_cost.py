@@ -41,7 +41,7 @@ def main():
               (s.split('=') for s in args.ms)}
 
     from ld_tpu import Config
-    from ld_tpu.data.loader import DataLoader, GroupBatchSampler
+    from ld_tpu.data.loader import DataLoader
     from ld_tpu.data.transforms import Resize
 
     base = Config.fromfile(os.path.join(
@@ -72,16 +72,8 @@ def main():
     ds = _SizedDataset(dims)
     out = {}
     for grouped in (True, False):
-        dl = DataLoader.__new__(DataLoader)
-        dl.dataset = ds
-        dl.batch_size = args.batch
-        dl.pad_hw = tuple(pad_to)
-        dl.batch_scales = None
-        dl.scale_sampling = 'image_range'
-        dl.group_pad_buckets = grouped
-        dl._scale_carriers = ds.pipeline.transforms
-        dl.epoch = 0
-        dl.sampler = GroupBatchSampler(ds.flag, args.batch, seed=0)
+        dl = DataLoader(ds, args.batch, [tuple(p) for p in pad_to],
+                        seed=0, group_pad_buckets=grouped)
         fixed = dl._fixed_scales()
         keys = dl._bucket_keys(fixed) if fixed is not None else None
         batches = dl.sampler.epoch_batches(0, keys=keys)
